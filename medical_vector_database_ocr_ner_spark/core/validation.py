@@ -1,0 +1,112 @@
+"""Payload sniffing and data-quality validators.
+
+Parity targets: reference app/utils/validation.py (file security 27-127,
+sanitization 134-158, OCR/NER quality 256-365).
+"""
+
+from __future__ import annotations
+
+import re
+
+# reference validation.py:113-118
+EXECUTABLE_SIGNATURES: tuple[bytes, ...] = (
+    b"MZ",  # Windows PE
+    b"\x7fELF",  # Linux ELF
+    b"\xfe\xed\xfa\xce",  # Mach-O
+    b"\xce\xfa\xed\xfe",  # Mach-O (reverse)
+)
+
+# magic-byte prefixes for payload routing (HTML vs PDF branch vs reject)
+MAGIC_SIGNATURES: dict[str, tuple[bytes, ...]] = {
+    "pdf": (b"%PDF",),
+    "png": (b"\x89PNG",),
+    "jpeg": (b"\xff\xd8\xff",),
+    "gif": (b"GIF8",),
+    "executable": EXECUTABLE_SIGNATURES,
+}
+
+_MALICIOUS_URL_RE = re.compile(
+    r"(\.\./|\.\.\\|<script|javascript:|data:text/html)", re.IGNORECASE
+)  # semantics of reference validation.py:85-103 filename blacklist
+
+_OCR_ERROR_RES = [  # reference validation.py:330-336
+    re.compile(r"[0O]{3,}"),
+    re.compile(r"[1lI]{3,}"),
+    re.compile(r"[5S]{3,}"),
+    re.compile(r"[8B]{3,}"),
+]
+
+_SPECIAL_RE = re.compile(r"[^a-zA-Z0-9\s]")
+_DIGIT_RE = re.compile(r"\d")
+_CONTROL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+
+
+def is_executable_payload(data: bytes) -> bool:
+    """reference validation.py:106-127 (header-prefix check)."""
+    header = data[:1024]
+    return any(header.startswith(sig) for sig in EXECUTABLE_SIGNATURES)
+
+
+def sniff_payload_kind(data: bytes) -> str:
+    """Route a binary payload: html / pdf / image / executable / other."""
+    if not data:
+        return "empty"
+    for kind, sigs in MAGIC_SIGNATURES.items():
+        if any(data[:1024].startswith(sig) for sig in sigs):
+            return "image" if kind in ("png", "jpeg", "gif") else kind
+    head = data[:256].lstrip()[:64].lower()
+    if head.startswith((b"<!doctype html", b"<html", b"<head", b"<body")):
+        return "html"
+    return "other"
+
+
+def is_malicious_url(url: str) -> bool:
+    return bool(_MALICIOUS_URL_RE.search(url or ""))
+
+
+def sanitize_string(s: str, max_length: int = 1000) -> str:
+    """Control-char strip + length clamp (reference validation.py:134-158)."""
+    if not s:
+        return ""
+    s = _CONTROL_RE.sub("", s)
+    return s[:max_length].strip()
+
+
+def has_common_ocr_errors(text: str) -> bool:
+    """reference validation.py:328-341."""
+    return any(rx.search(text) for rx in _OCR_ERROR_RES)
+
+
+def special_char_ratio(text: str) -> float:
+    """reference validation.py:346-348."""
+    return len(_SPECIAL_RE.findall(text)) / len(text) if text else 0.0
+
+
+def digit_ratio(text: str) -> float:
+    """reference validation.py:350-353."""
+    return len(_DIGIT_RE.findall(text)) / len(text) if text else 0.0
+
+
+def max_word_freq_ratio(text: str) -> float:
+    """Max single-word share of all words; reference validation.py:356-364
+    applies it only when the doc has > 10 words."""
+    words = text.split()
+    if not words:
+        return 0.0
+    freq: dict[str, int] = {}
+    for w in words:
+        freq[w] = freq.get(w, 0) + 1
+    return max(freq.values()) / len(words)
+
+
+def is_gibberish(text: str) -> bool:
+    """reference validation.py:343-365: special-char ratio > 0.3, digit
+    ratio > 0.5, or (>10 words and max word freq > 30%)."""
+    if special_char_ratio(text) > 0.3:
+        return True
+    if digit_ratio(text) > 0.5:
+        return True
+    words = text.split()
+    if len(words) > 10 and max_word_freq_ratio(text) > 0.3:
+        return True
+    return False
