@@ -46,6 +46,7 @@ from .validation import (
     MAGIC_SIGNATURES,
     sniff_payload_kind,
     is_executable_payload,
+    is_malicious_url,
     has_common_ocr_errors,
     is_gibberish,
     special_char_ratio,

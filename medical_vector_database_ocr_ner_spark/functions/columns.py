@@ -1,0 +1,172 @@
+"""Native Spark column-expression library (JVM-side, codegen-friendly).
+
+Everything here is a pure ``Column`` expression — no Python UDFs — so
+Catalyst can push these below shuffles, prune columns, and keep them inside
+WholeStageCodegen. These are the cheap predicates that MUST run before the
+expensive Arrow/pandas extraction stages (SURVEY.md §4.2 "UDF barrier
+ordering").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_PAYLOAD_BYTES = 50 * 1024 * 1024  # reference app/config.py:35
+
+# binary prefixes; reference app/utils/validation.py:113-118
+_EXEC_PREFIXES_HEX = ("4D5A", "7F454C46", "FEEDFACE", "CEFAEDFE")
+
+
+def is_executable_col(html: Column) -> Column:
+    """Magic-byte executable check as a pure expression (F4)."""
+    head8 = F.upper(F.hex(F.substring(html, 1, 4)))
+    cond = F.lit(False)
+    for sig in _EXEC_PREFIXES_HEX:
+        cond = cond | head8.startswith(sig)
+    return cond
+
+
+def payload_kind_col(html: Column) -> Column:
+    """Route payloads natively: empty/executable/pdf/image/html/other (F3).
+
+    Mirrors core.validation.sniff_payload_kind closely enough for routing;
+    the authoritative per-row classification for goldens is the core fn.
+    """
+    head4 = F.upper(F.hex(F.substring(html, 1, 4)))
+    head3 = F.upper(F.hex(F.substring(html, 1, 3)))
+    # doctype sniff via a lazy binary→string cast: unlike decode(), the cast
+    # never validates, so hostile non-UTF8 bytes can't abort the scan (they
+    # simply fail every ASCII prefix match and fall through to 'other')
+    head_txt = F.lower(F.ltrim(F.substring(html, 1, 256).cast("string")))
+    return (
+        F.when(F.length(html) == 0, F.lit("empty"))
+        .when(is_executable_col(html), F.lit("executable"))
+        .when(head4 == "25504446", F.lit("pdf"))  # %PDF
+        .when(
+            (head4 == "89504E47") | (head3 == "FFD8FF") | (head4 == "47494638"),
+            F.lit("image"),
+        )
+        .when(
+            head_txt.startswith("<!doctype html")
+            | head_txt.startswith("<html")
+            | head_txt.startswith("<head")
+            | head_txt.startswith("<body"),
+            F.lit("html"),
+        )
+        .otherwise(F.lit("other"))
+    )
+
+
+def is_malicious_url_col(url: Column) -> Column:
+    """F5: regex blacklist (reference validation.py:85-103 semantics)."""
+    return url.rlike(r"(?i)(\.\./|\.\.\\|<script|javascript:|data:text/html)")
+
+
+def size_ok_col(html: Column) -> Column:
+    """F2: payload size cap."""
+    return F.length(html) <= F.lit(MAX_PAYLOAD_BYTES)
+
+
+def content_hash_col(text: Column) -> Column:
+    """C10: sha-256 content hash (hex) — the embedding sink key."""
+    return F.sha2(text.cast("string"), 256)
+
+
+def special_char_ratio_col(text: Column) -> Column:
+    """A11: reference validation.py:346-348."""
+    return F.when(
+        F.length(text) > 0,
+        F.regexp_count(text, F.lit(r"[^a-zA-Z0-9\s]")) / F.length(text),
+    ).otherwise(F.lit(0.0))
+
+
+def digit_ratio_col(text: Column) -> Column:
+    """A11: reference validation.py:350-353."""
+    return F.when(
+        F.length(text) > 0,
+        F.regexp_count(text, F.lit(r"\d")) / F.length(text),
+    ).otherwise(F.lit(0.0))
+
+
+def has_ocr_errors_col(text: Column) -> Column:
+    """reference validation.py:330-336 families."""
+    return (
+        text.rlike(r"[0O]{3,}")
+        | text.rlike(r"[1lI]{3,}")
+        | text.rlike(r"[5S]{3,}")
+        | text.rlike(r"[8B]{3,}")
+    )
+
+
+def strip_control_chars_col(text: Column) -> Column:
+    """C9 strip form (reference document.py:177-188)."""
+    return F.regexp_replace(text, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+
+
+def normalize_text_col(text: Column) -> Column:
+    """C2: lower → non-word→space → ws-collapse → trim (text_utils.py:40-62).
+
+    NOTE: Java regex \\w == [a-zA-Z0-9_] (ASCII) while Python's is unicode;
+    identical on the ASCII fixture corpus — unicode-exact normalization goes
+    through the pandas-UDF path (core.normalize_text).
+    """
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^\w\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def document_text_col(text: Column, entities: Column, metadata: Column) -> Column:
+    """C15: embedding-text assembly as a pure expression, byte-exact to
+    core.embedding.create_document_text / reference vector_service.py:321-349:
+    text ⊕ " " ⊕ "ent (TYPE)"-list ⊕ " " ⊕ "k: v" per metadata entry.
+    Empty parts are omitted entirely (no stray separators)."""
+    ent_part = F.array_join(
+        F.transform(
+            entities,
+            lambda e: F.concat(e["text"], F.lit(" ("), e["entity_type"], F.lit(")")),
+        ),
+        " ",
+    )
+    meta_part = F.array_join(
+        F.transform(
+            F.map_entries(metadata),
+            lambda kv: F.concat(kv["key"], F.lit(": "), kv["value"]),
+        ),
+        " ",
+    )
+    parts = F.array(
+        F.when((text.isNotNull()) & (F.length(text) > 0), text),
+        F.when((entities.isNotNull()) & (F.size(entities) > 0), ent_part),
+        F.when((metadata.isNotNull()) & (F.size(metadata) > 0), meta_part),
+    )
+    return F.array_join(F.filter(parts, lambda p: p.isNotNull()), " ")
+
+
+def entity_count_ok_col(entities: Column, entity_count: Column) -> Column:
+    """Cross-field invariant entity_count == len(entities)
+    (reference document.py:212-220)."""
+    return F.size(entities) == entity_count
+
+
+def filter_entities_by_confidence(entities: Column, threshold: float = 0.7) -> Column:
+    """F6 on the nested array via higher-order filter."""
+    return F.filter(entities, lambda e: e["confidence"] >= F.lit(threshold))
+
+
+def medical_entities_col(entities: Column) -> Column:
+    """F8: medical-type subset (ner_service.py:206-222)."""
+    return F.filter(
+        entities,
+        lambda e: e["entity_type"].isin(
+            "MEDICATION", "PROCEDURE", "DIAGNOSIS", "BODY_PART"
+        ),
+    )
+
+
+def url_salt_col(url: Column, num_buckets: int) -> Column:
+    """Salted url-hash bucket for skew-defeating repartition (north_rule):
+    hosts are heavily skewed, so we shuffle on a uniform hash of the FULL
+    url, never on host."""
+    return F.pmod(F.xxhash64(url), F.lit(num_buckets))

@@ -1,0 +1,230 @@
+"""Arrow-batched extraction operators (the only places Python executes).
+
+Design for 100 TB (SURVEY.md §3.3/§4.2):
+
+- Cheap native predicates run BEFORE these stages (Catalyst can't reorder
+  across Python UDFs, so ordering is structural in the pipeline builder).
+- ONE ``mapInPandas`` pass does html→text→spans per partition and DROPS the
+  html bytes in its output — payload bytes cross the JVM↔Python Arrow
+  boundary exactly once and never shuffle.
+- Heavy state (regex compilation, token-vector cache) initializes lazily per
+  Python worker, mirroring the reference's lru_cache model singletons
+  (app/services/vector_service.py:46-52).
+- Per-row failures become ``status='failed'`` + error_message rows, the
+  quarantine side-output of reference scripts/batch_process.py:115-126.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType, DoubleType, FloatType, IntegerType, StringType, StructField,
+    StructType, TimestampType,
+)
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+ENTITY_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("entity_type", StringType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("confidence", DoubleType()),
+    ]
+)
+
+# output of the single extraction pass (html bytes intentionally absent)
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("lang", StringType()),
+        StructField("kind", StringType()),
+        StructField("extracted_text", StringType()),
+        StructField("ocr_confidence", DoubleType()),
+        StructField("entities", ArrayType(ENTITY_TYPE)),
+        StructField("status", StringType()),
+        StructField("error_message", StringType()),
+    ]
+)
+
+PAGE_TYPE = StructType(
+    [StructField("page_text", StringType()), StructField("confidence", DoubleType())]
+)
+
+
+def _extract_row(kind: str, html: bytes | None):
+    """(extracted_text, ocr_confidence, entities, status, error)."""
+    from ..core import (
+        extract_entities, extract_main_content, mean_confidence, ocr_pdf_pages,
+        word_confidence,
+    )
+
+    try:
+        if kind == "html":
+            text = extract_main_content(html or b"")
+            words = text.split()
+            conf = mean_confidence([word_confidence(w) for w in words])
+        elif kind == "pdf":
+            pages = ocr_pdf_pages(html or b"")
+            text = "\n".join(p[0] for p in pages)
+            confs = [p[1] for p in pages]
+            conf = sum(confs) / len(confs) if confs else 0.0
+        else:
+            return None, None, None, "failed", f"unsupported payload kind: {kind}"
+        if not text:
+            return None, None, None, "failed", "no content extracted"
+        entities = extract_entities(text)
+        return text, float(conf), entities, "completed", None
+    except Exception as exc:  # quarantine, never kill the partition
+        return None, None, None, "failed", f"{type(exc).__name__}: {exc}"[:1000]
+
+
+def extract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (url, warc_ts, lang, kind, html) → DOCUMENT_SCHEMA."""
+    for batch in batches:
+        texts, confs, ents, statuses, errors = [], [], [], [], []
+        for kind, html in zip(batch["kind"], batch["html"]):
+            t, c, e, s, err = _extract_row(kind, html)
+            texts.append(t)
+            confs.append(c)
+            ents.append(e)
+            statuses.append(s)
+            errors.append(err)
+        yield pd.DataFrame(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "lang": batch["lang"],
+                "kind": batch["kind"],
+                "extracted_text": texts,
+                "ocr_confidence": confs,
+                "entities": ents,
+                "status": statuses,
+                "error_message": errors,
+            }
+        )
+
+
+@pandas_udf(ArrayType(ENTITY_TYPE))
+def ner_udf(texts: pd.Series) -> pd.Series:
+    """X3/X7 span extraction over a text column (Arrow-batched)."""
+    from ..core import extract_entities
+
+    return texts.map(lambda t: extract_entities(t) if t else [])
+
+
+@pandas_udf(ArrayType(FloatType()))
+def embed_udf(texts: pd.Series) -> pd.Series:
+    """X5 deterministic hash embedding (vectorized numpy inside)."""
+    from ..core import embed_text
+
+    return texts.map(lambda t: [float(x) for x in embed_text(t or "")])
+
+
+@pandas_udf(StringType())
+def clean_text_udf(texts: pd.Series) -> pd.Series:
+    """C1 order-exact clean (NFKC step has no Spark builtin → UDF, X6)."""
+    from ..core import clean_text
+
+    return texts.map(lambda t: clean_text(t) if t is not None else None)
+
+
+@pandas_udf(ArrayType(PAGE_TYPE))
+def pdf_pages_udf(payloads: pd.Series) -> pd.Series:
+    """X2 page expansion: pdf binary → array of (page_text, confidence);
+    explode() downstream makes this the UDTF-shaped 1→N map."""
+    from ..core import ocr_pdf_pages
+
+    return payloads.map(
+        lambda b: [
+            {"page_text": t, "confidence": float(c)} for t, c in ocr_pdf_pages(b or b"")
+        ]
+    )
+
+
+def extract_documents(
+    pages: "DataFrame", num_partitions: int | None = None, salt_repartition: bool = True
+) -> "DataFrame":
+    """Full extraction DAG: pages → documents (FIXTURES.md §2 schema).
+
+    Stage order is deliberate (SURVEY.md §4.2):
+      1. native filters (size cap, malicious url, executable magic) — pushed
+         to the scan, run in codegen, never reach Python;
+      2. native payload routing (kind column);
+      3. salted url-hash repartition to defeat host skew BEFORE the
+         expensive Python stage (AQE cannot rebalance a map-only stage);
+      4. one mapInPandas pass (html crosses Arrow exactly once, is dropped);
+      5. native post-compute: content_hash, entity_count, quality flags,
+         metadata map.
+
+    Rejected rows surface as status='failed' quarantine rows, not drops.
+    """
+    from ..functions import columns as FX
+
+    pages = pages.select("url", "warc_ts", "html", "lang")
+
+    rejected = pages.where(
+        ~FX.size_ok_col(F.col("html"))
+        | FX.is_malicious_url_col(F.col("url"))
+        | FX.is_executable_col(F.col("html"))
+    ).select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.lit("rejected").alias("kind"),
+        F.lit(None).cast("string").alias("extracted_text"),
+        F.lit(None).cast("double").alias("ocr_confidence"),
+        F.lit(None).cast(ArrayType(ENTITY_TYPE)).alias("entities"),
+        F.lit("failed").alias("status"),
+        F.when(~FX.size_ok_col(F.col("html")), "payload exceeds size cap")
+        .when(FX.is_malicious_url_col(F.col("url")), "malicious url pattern")
+        .otherwise("executable content signature")
+        .alias("error_message"),
+    )
+
+    ok = pages.where(
+        FX.size_ok_col(F.col("html"))
+        & ~FX.is_malicious_url_col(F.col("url"))
+        & ~FX.is_executable_col(F.col("html"))
+    ).withColumn("kind", FX.payload_kind_col(F.col("html")))
+
+    if salt_repartition:
+        if num_partitions is None:
+            num_partitions = ok.sparkSession.sparkContext.defaultParallelism
+        # uniform hash of the FULL url — host-level skew cannot survive this
+        ok = ok.repartition(num_partitions, FX.url_salt_col(F.col("url"), num_partitions))
+
+    extracted = ok.select("url", "warc_ts", "lang", "kind", "html").mapInPandas(
+        extract_partition, schema=DOCUMENT_SCHEMA
+    )
+
+    docs = extracted.unionByName(rejected)
+
+    return docs.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "kind",
+        "extracted_text",
+        "ocr_confidence",
+        "entities",
+        F.when(F.col("entities").isNotNull(), F.size("entities"))
+        .otherwise(F.lit(0))
+        .alias("entity_count"),
+        FX.content_hash_col(F.col("extracted_text")).alias("content_hash"),
+        "status",
+        "error_message",
+        FX.special_char_ratio_col(F.col("extracted_text")).alias("special_char_ratio"),
+        FX.digit_ratio_col(F.col("extracted_text")).alias("digit_ratio"),
+        FX.has_ocr_errors_col(F.col("extracted_text")).alias("has_ocr_errors"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
+    )
