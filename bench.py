@@ -1,0 +1,91 @@
+"""Benchmark harness: headline queries + the flagship extraction pipeline.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The extraction pipeline runs over the deterministic synthetic pages table
+sized to the scale factor (sf0.1 → 20,000 pages); docs_per_sec is the
+north-star throughput number. Scaling evidence (local[8] vs local[32]) is
+produced by tools/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "topk_customer_revenue",
+    "part_brand_volume",
+    "priority_topk_orders",
+    "keyword_topk",
+    "rate_limit_minutely",
+    "user_sessions",
+    "ann_topk_cosine",
+    "knn_hydrated",
+    "minhash_dup_counts",
+    "simhash16",
+    "doc_fingerprint",
+    "quality_score",
+    "pages_extraction",
+    "semantic_search",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from medical_vector_database_ocr_ner_spark.plans.queries import (
+        QUERIES, _pages_for_sf,
+    )
+    from medical_vector_database_ocr_ner_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # pre-generate the pages table so generation isn't billed to the query
+    n_pages = _pages_for_sf(spark, sf_dir).count()
+
+    def run_suite(record: bool) -> tuple[dict[str, float], float, float | None]:
+        timings: dict[str, float] = {}
+        total = 0.0
+        dps = None
+        for name in HEADLINE:
+            spec = QUERIES[name]
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.count()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            if name == "pages_extraction":
+                dps = round(n_pages / dt, 1)
+        return timings, total, dps
+
+    # pass 1 warms JIT/codegen + Python workers; pass 2 is the measurement
+    # (steady-state plan cost — the number that extrapolates to cluster scale)
+    run_suite(record=False)
+    timings, total, docs_per_sec = run_suite(record=True)
+
+    out = {
+        "metric": "headline suite wall time (sec); docs_per_sec = extraction throughput",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "n_pages": n_pages,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

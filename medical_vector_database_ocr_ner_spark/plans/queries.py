@@ -1,0 +1,1048 @@
+"""Named queries + DuckDB oracle SQL for the driver correctness gate.
+
+Every SURVEY.md §2 operator family is represented by at least one entry that
+runs BOTH as a Spark DataFrame plan and as ANSI-ish SQL DuckDB executes on
+the same parquet — row-count + schema + order-insensitive value-hash must
+match. Conventions keeping the two engines hash-identical:
+
+- every computed/aggregate column aliased identically on both sides;
+- floats rounded to 4 decimals (double arithmetic ulp drift);
+- regexes restricted to the Java∩RE2 common subset (explicit char classes);
+- portable 60-bit string hash: first 15 hex chars of md5 → BIGINT
+  (Spark ``conv(...,16,10)`` ≡ DuckDB ``CAST('0x'||... AS BIGINT)``);
+- deterministic ORDER BY + tie-breaks wherever LIMIT cuts a set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs rows-only check
+    note: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# 60-bit portable string hash -------------------------------------------------
+
+def _h60(col):  # Spark side
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+H60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+STOPS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+_STOPS_SQL = ", ".join(f"'{s}'" for s in STOPS)
+
+
+# === 2.5 aggregations / TPC-H-ish spine =====================================
+
+def q_pricing_summary(spark, sf):
+    """A5/A6-style multi-aggregate (TPC-H Q1 shape): partial+final hash agg,
+    single shuffle on the group keys."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_customer_revenue(spark, sf):
+    """T2 distributed top-k: join + agg + TakeOrderedAndProject (no global
+    sort); deterministic tie-break on custkey."""
+    orders, cust = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOPK_REVENUE = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_part_brand_volume(spark, sf):
+    """J1-style broadcast hash join: tiny dim broadcast, no shuffle of the
+    fact side beyond the final agg."""
+    li, part = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part.where(F.col("p_size") < 10)),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_PART_BRAND = """
+SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size < 10
+GROUP BY p_brand
+"""
+
+
+def q_region_customer_count(spark, sf):
+    """Multi-hop dim joins (region→nation→customer), both dims broadcast."""
+    region, nation, cust = (
+        _t(spark, sf, "region"), _t(spark, sf, "nation"), _t(spark, sf, "customer")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+ORACLE_REGION_CUST = """
+SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_priority_topk_orders(spark, sf):
+    """T2 per-group top-k via window rank (partial sort per group only)."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey",
+                F.round("o_totalprice", 4).alias("total"))
+    )
+
+
+ORACLE_PRIORITY_TOPK = """
+SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 4) AS total
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_orders_pagination(spark, sf):
+    """T4 pagination: ORDER BY + offset + limit (reference routes.py:256)."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+ORACLE_PAGINATION = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100
+"""
+
+
+def q_doc_point_lookup(spark, sf):
+    """F11 point lookup (partition/row-group pruning path)."""
+    return _t(spark, sf, "documents").where(F.col("doc_id") == 42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+ORACLE_POINT = "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
+
+
+def q_events_minmax_by(spark, sf):
+    """T5 best/worst via max_by/min_by aggregates."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", "value").alias("max_value_event"),
+        F.min_by("event_id", "value").alias("min_value_event"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+ORACLE_MINMAX_BY = """
+SELECT event_type,
+       max_by(event_id, value) AS max_value_event,
+       min_by(event_id, value) AS min_value_event,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# === 2.2/2.4/2.7 text ops over documents ====================================
+
+def q_keyword_topk(spark, sf):
+    """T3+C3+F12+A7: tokenize, stop/len/digit filter, frequency top-50."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .select(F.lower("word").alias("word"))
+        .where(
+            (F.length("word") >= 3)
+            & ~F.col("word").isin(*STOPS)
+            & ~F.col("word").rlike("^[0-9]+$")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(50)
+    )
+
+
+ORACLE_KEYWORD_TOPK = f"""
+SELECT word, count(*) AS cnt FROM (
+  SELECT lower(unnest(string_split(text, ' '))) AS word FROM documents
+) WHERE length(word) >= 3 AND word NOT IN ({_STOPS_SQL})
+      AND NOT regexp_matches(word, '^[0-9]+$')
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+"""
+
+
+def q_gibberish_docs(spark, sf):
+    """A10 word-repetition check: docs where one word > 30% of all words
+    (reference validation.py:356-365, applied when > 10 words)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    per_word = toks.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.max("c").alias("max_c"), F.sum("c").alias("n_words")
+    )
+    return (
+        per_doc.where((F.col("n_words") > 10)
+                      & (F.col("max_c") > 0.3 * F.col("n_words")))
+        .select("doc_id", "max_c", "n_words")
+    )
+
+
+ORACLE_GIBBERISH = """
+SELECT doc_id, max_c, n_words FROM (
+  SELECT doc_id, max(c) AS max_c, sum(c) AS n_words FROM (
+    SELECT doc_id, word, count(*) AS c FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ) GROUP BY doc_id, word
+  ) GROUP BY doc_id
+) WHERE n_words > 10 AND max_c > 0.3 * n_words
+"""
+
+
+def q_char_ratios(spark, sf):
+    """A11 char-class ratios as pure column exprs (validation.py:346-353)."""
+    docs = _t(spark, sf, "documents")
+    return docs.where(F.length("text") > 0).select(
+        "doc_id",
+        F.round(
+            F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]"))
+            / F.length("text"), 4,
+        ).alias("special_ratio"),
+        F.round(
+            F.regexp_count(F.col("text"), F.lit("[0-9]")) / F.length("text"), 4
+        ).alias("digit_ratio"),
+    )
+
+
+ORACLE_CHAR_RATIOS = """
+SELECT doc_id,
+       round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS special_ratio,
+       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS digit_ratio
+FROM documents WHERE length(text) > 0
+"""
+
+
+def q_doc_stats_panel(spark, sf):
+    """A5 global stats panel: one multi-aggregate."""
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.count("*").alias("total_docs"),
+        F.count_if(F.col("lang") == "en").alias("en_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+ORACLE_STATS_PANEL = """
+SELECT count(*) AS total_docs,
+       count_if(lang = 'en') AS en_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       count(DISTINCT source) AS n_sources,
+       sum(length(text)) AS total_text_len
+FROM documents
+"""
+
+
+def q_exact_dedup_keeper(spark, sf):
+    """Exact dedup (hash-groupBy): content-hash groups, min doc_id kept —
+    the scalable form of the reference's duplicate check (A8/C10)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower("text")).alias("content_key"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(lower(text)) AS content_key, min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(lower(text))
+"""
+
+
+def q_normalize_text(spark, sf):
+    """C2 normalize (lower → non-word→space → collapse → trim) natively."""
+    docs = _t(spark, sf, "documents")
+    t = F.lower(F.col("text"))
+    t = F.regexp_replace(t, "[^a-zA-Z0-9_ ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return docs.select("doc_id", F.trim(t).alias("norm_text")).where(
+        F.col("doc_id") < 50
+    )
+
+
+ORACLE_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-zA-Z0-9_ ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_regex_token_counts(spark, sf):
+    """C4-family regexp_extract_all: typed-pattern match counts per doc."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("(fast|slow|merge)"), 1))
+        .alias("n_speed_terms"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]{5,}"), 0))
+        .alias("n_long_tokens"),
+    ).where(F.col("doc_id") < 100)
+
+
+ORACLE_REGEX_COUNTS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '(fast|slow|merge)', 1)) AS n_speed_terms,
+       len(regexp_extract_all(text, '[a-z]{5,}', 0)) AS n_long_tokens
+FROM documents WHERE doc_id < 100
+"""
+
+
+# === 2.8 / A13 time-window analytics over events ============================
+
+def q_rate_limit_minutely(spark, sf):
+    """ST1 batch analog: per-user tumbling 1-minute counts + limit flag
+    (reference validation.py:456-489, limit scaled to fixture density)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(F.count("*").alias("n_requests"))
+        .withColumn("over_limit", F.col("n_requests") > 5)
+    )
+
+
+ORACLE_RATE_LIMIT = """
+SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n_requests,
+       count(*) > 5 AS over_limit
+FROM events GROUP BY user_id, date_trunc('minute', ts)
+"""
+
+
+def q_hourly_event_stats(spark, sf):
+    """Tumbling 1-hour aggregate by type."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+ORACLE_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_event_type_histogram(spark, sf):
+    """A3/A4 histogram."""
+    return _t(spark, sf, "events").groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+ORACLE_EVENT_HIST = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def q_events_json_extract(spark, sf):
+    """C17 JSON parse: extract props.k, aggregate."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count_if(F.col("k").isNull()).alias("null_k"),
+        )
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type, round(avg(k), 4) AS avg_k, count_if(k IS NULL) AS null_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def q_user_sessions(spark, sf):
+    """Sessionization via gap detection (lag window, 300s gap)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 300), 1).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+ORACLE_SESSIONS = """
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 300
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+"""
+
+
+# === embeddings / similarity search =========================================
+
+def q_embedding_norms(spark, sf):
+    """Array math: L2 norm per vector (JVM-side fold, no Python)."""
+    emb = _t(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select("vec_id", F.round(F.sqrt(sq), 4).alias("l2_norm"))
+
+
+ORACLE_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_ann_topk_cosine(spark, sf):
+    """J5+T2: brute-force top-10 by dot product against the vec_id=0 vector
+    (broadcast one-row query side; distributed TakeOrderedAndProject)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("qe"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(dot, 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ORACLE_ANN = """
+WITH qf AS (
+  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0
+), flat AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT vec_id, round(sum(CAST(v AS DOUBLE) * CAST(qv AS DOUBLE)), 4) AS sim
+FROM flat JOIN qf USING (i)
+GROUP BY vec_id ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_knn_hydrated(spark, sf):
+    """J3 hydration: top-k ids joined back to the documents table."""
+    topk = q_ann_topk_cosine(spark, sf)
+    docs = _t(spark, sf, "documents")
+    return topk.join(
+        docs, topk.vec_id == docs.doc_id, "left"
+    ).select("vec_id", "sim", "lang", "source", "n_chars")
+
+
+ORACLE_KNN_HYDRATED = f"""
+WITH topk AS ({ORACLE_ANN})
+SELECT vec_id, sim, lang, source, n_chars
+FROM topk LEFT JOIN documents ON vec_id = doc_id
+"""
+
+
+def q_label_lang_histogram(spark, sf):
+    """J2-style correlation join: embeddings × documents on id, 2-D histogram."""
+    emb, docs = _t(spark, sf, "embeddings"), _t(spark, sf, "documents")
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .groupBy("label", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_LABEL_LANG = """
+SELECT label, lang, count(*) AS n
+FROM embeddings JOIN documents ON vec_id = doc_id
+GROUP BY label, lang
+"""
+
+
+def q_lsh_bucket_histogram(spark, sf):
+    """Random-hyperplane LSH bucketing (the ANN scale path): 8 sign bits of
+    the leading dims → bucket id; bucket-size histogram."""
+    emb = _t(spark, sf, "embeddings")
+    bucket = None
+    for i in range(8):
+        bit = F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+_LSH_BITS_SQL = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(8)
+)
+ORACLE_LSH = f"""
+SELECT bucket, count(*) AS n_vectors FROM (
+  SELECT {_LSH_BITS_SQL} AS bucket FROM embeddings
+) GROUP BY bucket
+"""
+
+
+# === dedup family over documents ============================================
+
+_TOKS_SQL = """
+SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+"""
+
+
+def _distinct_tokens(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+
+
+def q_minhash_signatures(spark, sf):
+    """MinHash signatures (4 independent hash families via salted md5):
+    shingle=token, h_j(t) = h60(t + '#' + j), signature = per-doc min."""
+    toks = _distinct_tokens(spark, sf)
+    aggs = [
+        F.min(_h60(F.concat(F.col("tok"), F.lit(f"#{j}")))).alias(f"m{j}")
+        for j in range(4)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+ORACLE_MINHASH_SIG = f"""
+SELECT doc_id,
+       min({H60_SQL.format(x="tok || '#0'")}) AS m0,
+       min({H60_SQL.format(x="tok || '#1'")}) AS m1,
+       min({H60_SQL.format(x="tok || '#2'")}) AS m2,
+       min({H60_SQL.format(x="tok || '#3'")}) AS m3
+FROM ({_TOKS_SQL}) GROUP BY doc_id
+"""
+
+
+def q_minhash_dup_counts(spark, sf):
+    """MinHash-LSH candidate generation: one band of 4 rows — docs whose full
+    signature collides are near-dup candidates; per-doc candidate count.
+    (Band-bucket self-join = the at-scale shape: join on the band hash, never
+    all-pairs.)"""
+    sig = q_minhash_signatures(spark, sf)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.m0") == F.col("b.m0"))
+        & (F.col("a.m1") == F.col("b.m1"))
+        & (F.col("a.m2") == F.col("b.m2"))
+        & (F.col("a.m3") == F.col("b.m3"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("n_candidates"))
+    )
+
+
+ORACLE_MINHASH_DUPS = f"""
+WITH sig AS ({ORACLE_MINHASH_SIG})
+SELECT a.doc_id AS doc_id, count(*) AS n_candidates
+FROM sig a JOIN sig b
+  ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3
+ AND a.doc_id < b.doc_id
+GROUP BY a.doc_id
+"""
+
+
+def q_simhash16(spark, sf):
+    """SimHash (16-bit): per-token 60-bit hash, bit-weighted majority vote
+    over token counts, packed bucket id."""
+    docs = _t(spark, sf, "documents")
+    tok_counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("h", _h60(F.col("tok")))
+    )
+    bits = spark.range(16).select(
+        F.col("id").cast("int").alias("bit"),
+        F.pow(F.lit(2.0), F.col("id")).cast("bigint").alias("p"),
+    )
+    # integer division only: double division would shred 60-bit hashes
+    # (53-bit mantissa) and diverge from the oracle
+    contrib = tok_counts.crossJoin(F.broadcast(bits)).select(
+        "doc_id", "bit", "p",
+        (F.col("c") * (F.expr("(h DIV p) % 2") * 2 - 1)).alias("w"),
+    )
+    per_bit = contrib.groupBy("doc_id", "bit", "p").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") >= 0, F.col("p")).otherwise(F.lit(0))).alias("simhash")
+    )
+
+
+ORACLE_SIMHASH = f"""
+WITH tc AS (
+  SELECT doc_id, tok, count(*) AS c, {H60_SQL.format(x="tok")} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), bits AS (
+  SELECT CAST(range AS INT) AS bit, CAST(power(2, range) AS BIGINT) AS p
+  FROM range(16)
+), per_bit AS (
+  SELECT doc_id, bit, p, sum(c * (((h // p) % 2) * 2 - 1)) AS s
+  FROM tc CROSS JOIN bits GROUP BY doc_id, bit, p
+)
+SELECT doc_id, sum(CASE WHEN s >= 0 THEN p ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    """n-gram Jaccard near-dup: word-3-gram shingles, exact Jaccard ≥ 0.6
+    over an inverted-index self-join (shingle-key join, not all-pairs)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 150)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("shingle"),
+            F.lead("tok", 2).over(w).alias("guard"),
+        )
+        .where(F.col("guard").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "da").join(sb, "db")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4),
+        )
+        .where(F.col("jaccard") >= 0.6)
+        .select("da", "db", "jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE doc_id < 150
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
+           lead(tok, 2) OVER w AS guard
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE guard IS NOT NULL
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.6
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    """Document fingerprint: min 60-bit hash over word-3-gram shingles
+    (1-perm minhash / winnowing-lite)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w))
+        .alias("shingle"),
+        F.lead("tok", 2).over(w).alias("guard"),
+    ).where(F.col("guard").isNotNull())
+    return sh.groupBy("doc_id").agg(
+        F.min(_h60(F.col("shingle"))).alias("fingerprint")
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
+         lead(tok, 2) OVER w AS guard
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, min({H60_SQL.format(x="shingle")}) AS fingerprint
+FROM sh WHERE guard IS NOT NULL GROUP BY doc_id
+"""
+
+
+# === text analysis ==========================================================
+
+def q_lang_id_heuristic(spark, sf):
+    """Language-ID heuristic: stopword-overlap score (n-gram/function-word
+    method, SQL-expressible form; the full detector runs over pages in
+    operators.textstats)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.count_if(F.col("tok").isin(*STOPS)) / F.count("*"), 4
+            ).alias("en_score")
+        )
+        .withColumn(
+            "predicted_lang",
+            F.when(F.col("en_score") >= 0.05, "en").otherwise("unknown"),
+        )
+    )
+
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id, lang,
+       round(CAST(count_if(tok IN ({_STOPS_SQL})) AS DOUBLE) / count(*), 4)
+         AS en_score,
+       CASE WHEN CAST(count_if(tok IN ({_STOPS_SQL})) AS DOUBLE) / count(*) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY doc_id, lang
+"""
+
+
+def q_quality_score(spark, sf):
+    """Quality scoring: length factor + repetition penalty + stopword ratio
+    (training-data filtering composite)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "n_chars", "tok").agg(F.count("*").alias("c"))
+    per_doc = per_tok.groupBy("doc_id", "n_chars").agg(
+        F.max("c").alias("max_c"),
+        F.sum("c").alias("n_words"),
+        F.sum(F.when(F.col("tok").isin(*STOPS), F.col("c")).otherwise(0)).alias(
+            "n_stop"
+        ),
+    )
+    # exact integer basis points: score = 0.4·min(nc,500)/500
+    # + 0.3·(nw-mc)/nw + 0.3·ns/nw = N/D with
+    # N = 4·min(nc,500)·nw + 1500·(nw-mc) + 1500·ns, D = 5000·nw.
+    # Float round(…,4) ties at the 4th decimal resolve differently across
+    # engines; (N·10000) DIV D is reproducible everywhere.
+    num = (
+        4 * F.least(F.col("n_chars"), F.lit(500)) * F.col("n_words")
+        + 1500 * (F.col("n_words") - F.col("max_c"))
+        + 1500 * F.col("n_stop")
+    )
+    return per_doc.select(
+        "doc_id",
+        ((num * 10000).cast("bigint")).alias("n10k"),
+        (5000 * F.col("n_words")).alias("d"),
+    ).select("doc_id", F.expr("n10k DIV d").alias("quality_bp"))
+
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+       (CAST(4 * least(n_chars, 500) * n_words
+             + 1500 * (n_words - max_c) + 1500 * n_stop AS BIGINT) * 10000)
+       // (5000 * n_words) AS quality_bp
+FROM (
+  SELECT doc_id, n_chars, max(c) AS max_c, sum(c) AS n_words,
+         sum(CASE WHEN tok IN ({_STOPS_SQL}) THEN c ELSE 0 END) AS n_stop
+  FROM (
+    SELECT doc_id, n_chars, tok, count(*) AS c
+    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    GROUP BY doc_id, n_chars, tok
+  ) GROUP BY doc_id, n_chars
+)
+"""
+
+
+def q_token_counts(spark, sf):
+    """Token counting: whitespace tokens + distinct + BPE-ish subword count
+    (4-char chunks upper bound)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+        F.ceil(F.length(F.regexp_replace("text", " ", "")) / 4).alias("n_subwords"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS n_subwords
+FROM documents
+"""
+
+
+def q_union_dedup_priority(spark, sf):
+    """U1/U2: two extractor outputs unioned with source priority,
+    deterministic first-wins dedup via row_number (reference
+    ner_service.py:67-107 dataflow in relational form)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
+    src1 = toks.where(F.col("tok").isin("fast", "slow")).select(
+        "doc_id", "tok", F.lit("general").alias("source"), F.lit(1).alias("prio")
+    )
+    src2 = toks.where(F.col("tok").isin("slow", "merge")).select(
+        "doc_id", "tok", F.lit("medical").alias("source"), F.lit(2).alias("prio")
+    )
+    unioned = src1.unionByName(src2)
+    w = Window.partitionBy("doc_id", "tok").orderBy("prio")
+    kept = unioned.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return kept.groupBy("source").agg(F.count("*").alias("n_spans"))
+
+
+ORACLE_UNION_DEDUP = """
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+u AS (
+  SELECT doc_id, tok, 'general' AS source, 1 AS prio FROM toks
+  WHERE tok IN ('fast', 'slow')
+  UNION ALL
+  SELECT doc_id, tok, 'medical' AS source, 2 AS prio FROM toks
+  WHERE tok IN ('slow', 'merge')
+)
+SELECT source, count(*) AS n_spans FROM (
+  SELECT source, row_number() OVER (PARTITION BY doc_id, tok ORDER BY prio) AS rk
+  FROM u
+) WHERE rk = 1 GROUP BY source
+"""
+
+
+# === pipeline queries (UDF-backed; rows-only driver check) ==================
+
+_SF_PAGES = {"0.001": 200, "0.01": 2000, "0.1": 20000}
+
+
+def _pages_for_sf(spark, sf_dir: str):
+    from ..sources.pages import pages_path
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = _SF_PAGES.get(sf, 2000)
+    return spark.read.parquet(pages_path(n))
+
+
+def q_pages_extraction(spark, sf):
+    """Flagship extraction DAG over the synthetic pages table (UDF-backed —
+    correctness held by the golden byte-parity pytest suite, not SQL)."""
+    from ..operators.extraction import extract_documents
+
+    docs = extract_documents(_pages_for_sf(spark, sf))
+    return docs.select("url", "kind", "status", "entity_count", "content_hash")
+
+
+def q_pdf_page_explode(spark, sf):
+    """X2 UDTF-shaped page expansion: pdf payloads → exploded per-page rows."""
+    from ..functions import columns as FX
+    from ..operators.extraction import pdf_pages_udf
+
+    pages = _pages_for_sf(spark, sf)
+    pdfs = pages.where(FX.payload_kind_col(F.col("html")) == "pdf")
+    return (
+        pdfs.select("url", F.explode(pdf_pages_udf(F.col("html"))).alias("page"))
+        .select(
+            "url",
+            F.col("page.page_text").alias("page_text"),
+            F.round(F.col("page.confidence"), 4).alias("confidence"),
+        )
+    )
+
+
+def q_semantic_search(spark, sf):
+    """§3.2 semantic top-k over the extracted corpus (UDF embeddings)."""
+    from ..operators.extraction import extract_documents
+    from .pipeline import build_embeddings, search_topk
+
+    docs = extract_documents(_pages_for_sf(spark, sf))
+    emb = build_embeddings(docs)
+    return search_topk(emb, "Metformin diabetes prescription", 10, documents=docs)
+
+
+# === registry ===============================================================
+
+QUERIES: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING),
+    "topk_customer_revenue": QuerySpec(q_topk_customer_revenue, ORACLE_TOPK_REVENUE),
+    "part_brand_volume": QuerySpec(q_part_brand_volume, ORACLE_PART_BRAND),
+    "region_customer_count": QuerySpec(q_region_customer_count, ORACLE_REGION_CUST),
+    "priority_topk_orders": QuerySpec(q_priority_topk_orders, ORACLE_PRIORITY_TOPK),
+    "orders_pagination": QuerySpec(q_orders_pagination, ORACLE_PAGINATION),
+    "doc_point_lookup": QuerySpec(q_doc_point_lookup, ORACLE_POINT),
+    "events_minmax_by": QuerySpec(q_events_minmax_by, ORACLE_MINMAX_BY),
+    "keyword_topk": QuerySpec(q_keyword_topk, ORACLE_KEYWORD_TOPK),
+    "gibberish_docs": QuerySpec(q_gibberish_docs, ORACLE_GIBBERISH),
+    "char_ratios": QuerySpec(q_char_ratios, ORACLE_CHAR_RATIOS),
+    "doc_stats_panel": QuerySpec(q_doc_stats_panel, ORACLE_STATS_PANEL),
+    "exact_dedup_keeper": QuerySpec(q_exact_dedup_keeper, ORACLE_EXACT_DEDUP),
+    "normalize_text": QuerySpec(q_normalize_text, ORACLE_NORMALIZE),
+    "regex_token_counts": QuerySpec(q_regex_token_counts, ORACLE_REGEX_COUNTS),
+    "rate_limit_minutely": QuerySpec(q_rate_limit_minutely, ORACLE_RATE_LIMIT),
+    "hourly_event_stats": QuerySpec(q_hourly_event_stats, ORACLE_HOURLY),
+    "event_type_histogram": QuerySpec(q_event_type_histogram, ORACLE_EVENT_HIST),
+    "events_json_extract": QuerySpec(q_events_json_extract, ORACLE_JSON),
+    "user_sessions": QuerySpec(q_user_sessions, ORACLE_SESSIONS),
+    "embedding_norms": QuerySpec(q_embedding_norms, ORACLE_NORMS),
+    "ann_topk_cosine": QuerySpec(q_ann_topk_cosine, ORACLE_ANN),
+    "knn_hydrated": QuerySpec(q_knn_hydrated, ORACLE_KNN_HYDRATED),
+    "label_lang_histogram": QuerySpec(q_label_lang_histogram, ORACLE_LABEL_LANG),
+    "lsh_bucket_histogram": QuerySpec(q_lsh_bucket_histogram, ORACLE_LSH),
+    "minhash_signatures": QuerySpec(q_minhash_signatures, ORACLE_MINHASH_SIG),
+    "minhash_dup_counts": QuerySpec(q_minhash_dup_counts, ORACLE_MINHASH_DUPS),
+    "simhash16": QuerySpec(q_simhash16, ORACLE_SIMHASH),
+    "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD),
+    "doc_fingerprint": QuerySpec(q_doc_fingerprint, ORACLE_FINGERPRINT),
+    "lang_id_heuristic": QuerySpec(q_lang_id_heuristic, ORACLE_LANG_ID),
+    "quality_score": QuerySpec(q_quality_score, ORACLE_QUALITY),
+    "token_counts": QuerySpec(q_token_counts, ORACLE_TOKEN_COUNTS),
+    "union_dedup_priority": QuerySpec(q_union_dedup_priority, ORACLE_UNION_DEDUP),
+    # UDF-backed pipeline queries: no SQL oracle (golden-tested in pytest)
+    "pages_extraction": QuerySpec(q_pages_extraction, None,
+                                  "byte-parity via tests/test_spark_parity.py"),
+    "pdf_page_explode": QuerySpec(q_pdf_page_explode, None,
+                                  "page expansion golden-tested"),
+    "semantic_search": QuerySpec(q_semantic_search, None,
+                                 "top-k vs brute-force in pytest"),
+}

@@ -1,0 +1,112 @@
+"""Local stand-in for the driver's correctness gate: runs every
+plans.queries entry on Spark AND its DuckDB oracle at sf0.01, compares
+row-count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon(row[i]) for i in order) for row in rows
+    )
+    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), digest
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    from medical_vector_database_ocr_ner_spark.plans.queries import QUERIES
+    from medical_vector_database_ocr_ner_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            sn, shash = table_hash(scols, srows)
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name}: rows-only {sn} rows ({time.time()-t0:.1f}s)")
+            if sn == 0:
+                failures.append(name)
+                print(f"FAIL {name}: 0 rows on rows-only query")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+            on, ohash = table_hash(ocols, orows)
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+        status = "ok  "
+        if sorted(scols) != sorted(ocols):
+            status = "FAIL"
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(ocols)}")
+        elif (sn, shash) != (on, ohash):
+            status = "FAIL"
+            print(f"FAIL {name}: spark n={sn} h={shash}  duck n={on} h={ohash}")
+            sset = set("\x1f".join(canon(v) for v in r) for r in srows)
+            oset = set("\x1f".join(canon(v) for v in r) for r in orows)
+            for d in list(sset - oset)[:3]:
+                print("   spark-only:", d.replace("\x1f", " | ")[:160])
+            for d in list(oset - sset)[:3]:
+                print("   duck-only: ", d.replace("\x1f", " | ")[:160])
+        if status == "FAIL":
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {sn} rows hash={shash} ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(QUERIES) - len(set(failures))}/{len(QUERIES)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
