@@ -1,0 +1,195 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all expressed as native DataFrame ops (no Python in the hot
+path) so they hold at 10^12 rows:
+
+- exact:        hash-groupBy on a content key (one shuffle on the hash)
+- minhash-LSH:  shingle → n_hashes min-hashes → b bands → band-bucket join
+                (candidates meet only inside a band bucket — never all-pairs)
+- simhash:      per-token hash bits, count-weighted majority → 64-bit-ish key;
+                near-dups collide on bucket prefix
+- n-gram jaccard: inverted-index self-join on shingles + exact similarity
+- embedding cosine: sign-bit LSH bucket join + exact cosine inside buckets
+
+Shared hash: first 15 hex chars of md5 → BIGINT (portable to the DuckDB
+oracles in plans.queries, deterministic across runs/engines)."""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+
+def h60(col) -> "Column":
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: "DataFrame", text_col: str, id_col: str) -> "DataFrame":
+    """Keep the smallest id per identical (lowercased) text; returns
+    (content_key, keeper_id, n_copies). One shuffle on the 128-bit key —
+    never on the text itself (keys are tiny at any scale)."""
+    return df.groupBy(F.md5(F.lower(F.col(text_col))).alias("content_key")).agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+def _word_shingles(df: "DataFrame", text_col: str, id_col: str, n: int = 3) -> "DataFrame":
+    """Distinct word n-gram shingles per document via posexplode + lead."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    guard = F.lead("tok", n - 1).over(w)
+    return (
+        toks.select("_id", F.concat_ws(" ", *cols).alias("shingle"), guard.alias("g"))
+        .where(F.col("g").isNotNull())
+        .select("_id", "shingle")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: "DataFrame", text_col: str, id_col: str, n_hashes: int = 16, shingle_n: int = 3
+) -> "DataFrame":
+    """(id, hash_idx, minhash): n_hashes independent salted-hash families.
+    Long format keeps the plan one explode + one agg at any n_hashes."""
+    sh = _word_shingles(df, text_col, id_col, shingle_n)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_idx")
+    salted = sh.select("_id", "shingle", idx)
+    return (
+        salted.groupBy("_id", "hash_idx")
+        .agg(
+            F.min(
+                h60(F.concat(F.col("shingle"), F.lit("#"), F.col("hash_idx"))).alias("h")
+            ).alias("minhash")
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def minhash_lsh_candidates(
+    sig: "DataFrame", id_col: str, n_hashes: int = 16, bands: int = 4
+) -> "DataFrame":
+    """Band the signature (rows_per_band = n_hashes/bands), hash each band,
+    self-join on (band, band_hash): the at-scale candidate join — shuffle is
+    keyed on band buckets, candidate pairs only materialize within buckets."""
+    rows_per_band = n_hashes // bands
+    banded = (
+        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash"))))
+            ).alias("band_hash")
+        )
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", F.col("band_hash")
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band", F.col("band_hash")
+    )
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: "DataFrame", text_col: str, id_col: str, bits: int = 64) -> "DataFrame":
+    """Count-weighted SimHash: (id, simhash bigint). Bit votes via integer
+    div/mod on the 60-bit token hash (fits 64-bit exactly for bits ≤ 60)."""
+    assert bits <= 60, "h60 provides 60 usable bits"
+    tc = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("h", h60(F.col("tok")))
+    )
+    bdf = df.sparkSession.range(bits).select(
+        F.col("id").cast("int").alias("bit"),
+        F.pow(F.lit(2.0), F.col("id")).cast("bigint").alias("p"),
+    )
+    per_bit = (
+        tc.crossJoin(F.broadcast(bdf))
+        .select("_id", "bit", "p",
+                (F.col("c") * (F.expr("(h DIV p) % 2") * 2 - 1)).alias("w"))
+        .groupBy("_id", "bit", "p")
+        .agg(F.sum("w").alias("s"))
+    )
+    return (
+        per_bit.groupBy("_id")
+        .agg(F.sum(F.when(F.col("s") >= 0, F.col("p")).otherwise(0)).alias("simhash"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: "DataFrame", text_col: str, id_col: str,
+    threshold: float = 0.8, shingle_n: int = 3,
+) -> "DataFrame":
+    """Exact Jaccard over shingle sets via inverted-index self-join:
+    (id_a, id_b, jaccard). The join key is the shingle — pairs sharing zero
+    shingles never meet."""
+    sh = _word_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _sign_bucket(vec_col, n_bits: int) -> "Column":
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bucket = bucket + F.when(
+            F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def embedding_cosine_dups(
+    emb: "DataFrame", vec_col: str = "embedding", id_col: str = "vec_id",
+    threshold: float = 0.95, n_bits: int = 12,
+) -> "DataFrame":
+    """Embedding near-dup: sign-bit LSH bucket join, exact cosine inside the
+    bucket only. Assumes unit-normalized vectors (cosine = dot); near-dup
+    vectors agree on leading sign bits with overwhelming probability."""
+    b = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        _sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a_side = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
+    b_side = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return (
+        a_side.join(b_side, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot, 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -61,13 +61,15 @@ PAGE_TYPE = StructType(
 )
 
 
-def _extract_row(kind: str, html: bytes | None):
+def _extract_row(kind: str, html: bytes | None, reject_reason: str | None = None):
     """(extracted_text, ocr_confidence, entities, status, error)."""
     from ..core import (
         extract_entities, extract_main_content, mean_confidence, ocr_pdf_pages,
         word_confidence,
     )
 
+    if reject_reason is not None:
+        return None, None, None, "failed", reject_reason
     try:
         if kind == "html":
             text = extract_main_content(html or b"")
@@ -89,11 +91,17 @@ def _extract_row(kind: str, html: bytes | None):
 
 
 def extract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: (url, warc_ts, lang, kind, html) → DOCUMENT_SCHEMA."""
+    """mapInPandas body:
+    (url, warc_ts, lang, kind, html [, reject_reason]) → DOCUMENT_SCHEMA."""
     for batch in batches:
         texts, confs, ents, statuses, errors = [], [], [], [], []
-        for kind, html in zip(batch["kind"], batch["html"]):
-            t, c, e, s, err = _extract_row(kind, html)
+        rejects = (
+            batch["reject_reason"]
+            if "reject_reason" in batch.columns
+            else [None] * len(batch)
+        )
+        for kind, html, rej in zip(batch["kind"], batch["html"], rejects):
+            t, c, e, s, err = _extract_row(kind, html, rej)
             texts.append(t)
             confs.append(c)
             ents.append(e)
@@ -156,58 +164,52 @@ def extract_documents(
 ) -> "DataFrame":
     """Full extraction DAG: pages → documents (FIXTURES.md §2 schema).
 
-    Stage order is deliberate (SURVEY.md §4.2):
-      1. native filters (size cap, malicious url, executable magic) — pushed
-         to the scan, run in codegen, never reach Python;
+    Stage order is deliberate (SURVEY.md §4.2), and the whole DAG is ONE
+    scan of the input (a quarantine-side union would scan twice — 2× IO at
+    100 TB):
+      1. native predicates (size cap, malicious url, executable magic)
+         computed in codegen into a ``reject_reason`` column; rejected rows'
+         payload bytes are nulled out so they never shuffle;
       2. native payload routing (kind column);
       3. salted url-hash repartition to defeat host skew BEFORE the
          expensive Python stage (AQE cannot rebalance a map-only stage);
-      4. one mapInPandas pass (html crosses Arrow exactly once, is dropped);
+      4. one mapInPandas pass (surviving html crosses Arrow exactly once,
+         is dropped on output; rejects pass straight through as
+         status='failed' quarantine rows — never silently dropped);
       5. native post-compute: content_hash, entity_count, quality flags,
          metadata map.
-
-    Rejected rows surface as status='failed' quarantine rows, not drops.
     """
     from ..functions import columns as FX
 
     pages = pages.select("url", "warc_ts", "html", "lang")
 
-    rejected = pages.where(
-        ~FX.size_ok_col(F.col("html"))
-        | FX.is_malicious_url_col(F.col("url"))
-        | FX.is_executable_col(F.col("html"))
-    ).select(
+    reject_reason = (
+        F.when(~FX.size_ok_col(F.col("html")), "payload exceeds size cap")
+        .when(FX.is_malicious_url_col(F.col("url")), "malicious url pattern")
+        .when(FX.is_executable_col(F.col("html")), "executable content signature")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    routed = pages.withColumn("reject_reason", reject_reason).select(
         "url",
         "warc_ts",
         "lang",
-        F.lit("rejected").alias("kind"),
-        F.lit(None).cast("string").alias("extracted_text"),
-        F.lit(None).cast("double").alias("ocr_confidence"),
-        F.lit(None).cast(ArrayType(ENTITY_TYPE)).alias("entities"),
-        F.lit("failed").alias("status"),
-        F.when(~FX.size_ok_col(F.col("html")), "payload exceeds size cap")
-        .when(FX.is_malicious_url_col(F.col("url")), "malicious url pattern")
-        .otherwise("executable content signature")
-        .alias("error_message"),
+        F.when(F.col("reject_reason").isNull(), FX.payload_kind_col(F.col("html")))
+        .otherwise(F.lit("rejected"))
+        .alias("kind"),
+        # rejected payloads carry no bytes into the shuffle / Python stage
+        F.when(F.col("reject_reason").isNull(), F.col("html")).alias("html"),
+        "reject_reason",
     )
-
-    ok = pages.where(
-        FX.size_ok_col(F.col("html"))
-        & ~FX.is_malicious_url_col(F.col("url"))
-        & ~FX.is_executable_col(F.col("html"))
-    ).withColumn("kind", FX.payload_kind_col(F.col("html")))
 
     if salt_repartition:
         if num_partitions is None:
-            num_partitions = ok.sparkSession.sparkContext.defaultParallelism
+            num_partitions = routed.sparkSession.sparkContext.defaultParallelism
         # uniform hash of the FULL url — host-level skew cannot survive this
-        ok = ok.repartition(num_partitions, FX.url_salt_col(F.col("url"), num_partitions))
+        routed = routed.repartition(
+            num_partitions, FX.url_salt_col(F.col("url"), num_partitions)
+        )
 
-    extracted = ok.select("url", "warc_ts", "lang", "kind", "html").mapInPandas(
-        extract_partition, schema=DOCUMENT_SCHEMA
-    )
-
-    docs = extracted.unionByName(rejected)
+    docs = routed.mapInPandas(extract_partition, schema=DOCUMENT_SCHEMA)
 
     return docs.select(
         "url",

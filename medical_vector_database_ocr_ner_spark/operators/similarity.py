@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``: exact dot-product top-k, entirely JVM-side
+  (zip_with/aggregate → TakeOrderedAndProject). The correctness baseline.
+- ``IvfIndex``: inverted-file ANN — deterministic centroids, one-shuffle
+  partition assignment, searches probe only ``nprobe`` partitions. The
+  100 TB path: the scan prunes to nprobe/n_centroids of the corpus.
+
+Vectors are assumed unit-normalized (build_embeddings guarantees it), so
+dot product == cosine similarity."""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+
+def dot_lit(vec_col, query_vec: list[float]) -> "Column":
+    """JVM-side dot product against a literal vector (double precision)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_topk(
+    emb: "DataFrame", query_vec: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> "DataFrame":
+    """Exact top-k: distributed TakeOrderedAndProject, no global sort."""
+    return (
+        emb.select(F.col(id_col), dot_lit(F.col(vec_col), query_vec).alias("similarity"))
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+class IvfIndex:
+    """Inverted-file index: n_centroids deterministic representatives (the
+    first n vectors by id — deterministic without a training job; plug a
+    k-means DataFrame in for production), every vector assigned to its
+    best centroid once (one broadcast join + argmax), stored partitioned by
+    centroid. Queries score only nprobe centroid partitions.
+
+    At 10^12 vectors: assignment is a map-side broadcast pass; the search
+    reads nprobe/n_centroids of the data — partition pruning does the rest
+    when the assignment table is written partitioned by ``centroid_id``."""
+
+    def __init__(
+        self, emb: "DataFrame", n_centroids: int = 16,
+        vec_col: str = "embedding", id_col: str = "vec_id",
+    ) -> None:
+        self.vec_col, self.id_col = vec_col, id_col
+        self.n_centroids = n_centroids
+        self.centroids = [
+            (int(i), [float(x) for x in v])
+            for i, v in (
+                emb.orderBy(id_col).limit(n_centroids)
+                .select(id_col, vec_col).collect()
+            )
+        ]
+        self.assigned = self._assign(emb).cache()
+
+    def _best_centroid(self, vec_col) -> "Column":
+        """argmax over centroid dots as a fold — pure column expression."""
+        best = F.struct(F.lit(-1e18).alias("score"), F.lit(-1).alias("cid"))
+        for cid, cvec in self.centroids:
+            score = dot_lit(vec_col, cvec)
+            best = F.when(
+                score > best["score"],
+                F.struct(score.alias("score"), F.lit(cid).alias("cid")),
+            ).otherwise(best)
+        return best["cid"]
+
+    def _assign(self, emb: "DataFrame") -> "DataFrame":
+        return emb.select(
+            self.id_col, self.vec_col,
+            self._best_centroid(F.col(self.vec_col)).alias("centroid_id"),
+        )
+
+    def search(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> "DataFrame":
+        scored_centroids = sorted(
+            self.centroids,
+            key=lambda c: -sum(a * b for a, b in zip(c[1], query_vec)),
+        )
+        probe_ids = [cid for cid, _ in scored_centroids[:nprobe]]
+        candidates = self.assigned.where(F.col("centroid_id").isin(probe_ids))
+        return (
+            candidates.select(
+                self.id_col,
+                dot_lit(F.col(self.vec_col), query_vec).alias("similarity"),
+            )
+            .orderBy(F.desc("similarity"), F.asc(self.id_col))
+            .limit(k)
+        )
+
+    def recall_at_k(self, emb: "DataFrame", query_vec: list[float],
+                    k: int = 10, nprobe: int = 4) -> float:
+        exact = {r[self.id_col] for r in brute_force_topk(
+            emb, query_vec, k, self.vec_col, self.id_col).collect()}
+        approx = {r[self.id_col] for r in self.search(query_vec, k, nprobe).collect()}
+        return len(exact & approx) / max(len(exact), 1)

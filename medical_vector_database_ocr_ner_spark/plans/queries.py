@@ -952,6 +952,56 @@ SELECT source, count(*) AS n_spans FROM (
 """
 
 
+def q_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-dup (LSH sign-bucket join + exact cosine inside
+    buckets — never all-pairs). Threshold 0.3 fits the random-ish fixture
+    embeddings (max in-bucket cosine ≈ 0.43); real corpora use ≥0.9."""
+    from ..operators.dedup import embedding_cosine_dups
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = embedding_cosine_dups(emb, threshold=0.3, n_bits=8)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+_NEAR_DUP_BITS_SQL = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(8)
+)
+ORACLE_NEAR_DUPS = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_NEAR_DUP_BITS_SQL} AS bucket FROM embeddings
+), pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.embedding AS ea, y.embedding AS eb
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+), flat AS (
+  SELECT id_a, id_b,
+         unnest(ea) AS va, generate_subscripts(ea, 1) AS i
+  FROM pairs
+), flatb AS (
+  SELECT id_a, id_b,
+         unnest(eb) AS vb, generate_subscripts(eb, 1) AS i
+  FROM pairs
+), dots AS (
+  SELECT f.id_a, f.id_b,
+         round(sum(CAST(f.va AS DOUBLE) * CAST(g.vb AS DOUBLE)), 6) AS cosine
+  FROM flat f JOIN flatb g ON f.id_a = g.id_a AND f.id_b = g.id_b AND f.i = g.i
+  GROUP BY f.id_a, f.id_b
+)
+SELECT id_a, id_b, round(cosine, 4) AS cosine FROM dots WHERE cosine >= 0.3
+"""
+
+
+def q_ivf_topk(spark, sf):
+    """IVF ANN search (deterministic centroids, nprobe=4 of 8 partitions):
+    the at-scale ANN path; recall vs brute force asserted in pytest."""
+    from ..operators.similarity import IvfIndex
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    idx = IvfIndex(emb, n_centroids=8)
+    res = idx.search(qvec, k=10, nprobe=4)
+    return res.select("vec_id", F.round("similarity", 4).alias("similarity"))
+
+
 # === pipeline queries (UDF-backed; rows-only driver check) ==================
 
 _SF_PAGES = {"0.001": 200, "0.01": 2000, "0.1": 20000}
@@ -1038,6 +1088,9 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_score": QuerySpec(q_quality_score, ORACLE_QUALITY),
     "token_counts": QuerySpec(q_token_counts, ORACLE_TOKEN_COUNTS),
     "union_dedup_priority": QuerySpec(q_union_dedup_priority, ORACLE_UNION_DEDUP),
+    "embedding_near_dups": QuerySpec(q_embedding_near_dups, ORACLE_NEAR_DUPS),
+    "ivf_topk": QuerySpec(q_ivf_topk, None,
+                          "ANN recall asserted vs brute force in pytest"),
     # UDF-backed pipeline queries: no SQL oracle (golden-tested in pytest)
     "pages_extraction": QuerySpec(q_pages_extraction, None,
                                   "byte-parity via tests/test_spark_parity.py"),

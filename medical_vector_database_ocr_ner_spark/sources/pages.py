@@ -183,26 +183,47 @@ def _row(i: int, seed: int) -> tuple[str, datetime, bytes, str | None, str]:
 
 
 def generate_pages_parquet(
-    out_path: str, n_pages: int, seed: int = 42, row_group_size: int = 4096
+    out_path: str,
+    n_pages: int,
+    seed: int = 42,
+    row_group_size: int = 2048,
+    n_files: int | None = None,
 ) -> str:
-    """Write the synthetic pages table; returns out_path. Idempotent."""
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    cols: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
-    for i in range(n_pages):
-        url, ts, html, text, lang = _row(i, seed)
-        cols["url"].append(url)
-        cols["warc_ts"].append(ts)
-        cols["html"].append(html)
-        cols["text"].append(text)
-        cols["lang"].append(lang)
-    table = pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
-    pq.write_table(table, out_path, row_group_size=row_group_size)
+    """Write the synthetic pages table as a DIRECTORY of parquet part files
+    (a single file caps scan parallelism at its row-group count — at 100 TB
+    the input is always many files/splits, so the fixture matches).
+    Idempotent; returns out_path."""
+    if n_files is None:
+        n_files = max(8, min(64, n_pages // 1000))
+    tmp = out_path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    per = (n_pages + n_files - 1) // n_files
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n_pages)
+        if lo >= hi:
+            break
+        cols: dict[str, list] = {
+            k: [] for k in ("url", "warc_ts", "html", "text", "lang")
+        }
+        for i in range(lo, hi):
+            url, ts, html, text, lang = _row(i, seed)
+            cols["url"].append(url)
+            cols["warc_ts"].append(ts)
+            cols["html"].append(html)
+            cols["text"].append(text)
+            cols["lang"].append(lang)
+        table = pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
+        pq.write_table(
+            table, os.path.join(tmp, f"part-{f:05d}.parquet"),
+            row_group_size=row_group_size,
+        )
+    os.rename(tmp, out_path)
     return out_path
 
 
 def pages_path(n_pages: int, seed: int = 42, base_dir: str = "/tmp/spark_graft_pages") -> str:
     """Cached location for a generated pages table; generates on first use."""
-    path = os.path.join(base_dir, f"pages_n{n_pages}_s{seed}.parquet")
+    path = os.path.join(base_dir, f"pages_n{n_pages}_s{seed}_v2.parquet")
     if not os.path.exists(path):
         generate_pages_parquet(path, n_pages, seed)
     return path

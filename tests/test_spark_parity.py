@@ -173,21 +173,20 @@ class TestSearch:
 
 
 class TestPlanShape:
-    def test_pushed_filters_and_no_udf_before_filter(self, spark, pages_df):
-        """Native predicates must sit below the Python stage: the physical
-        plan's ArrowEvalPython/mapInPandas appears above the Filter."""
+    def test_single_scan_native_predicates_below_python(self, spark, pages_df):
+        """The DAG must scan the input exactly ONCE (no quarantine-union
+        double scan) and evaluate the native reject predicates below the
+        Python stage."""
         from medical_vector_database_ocr_ner_spark.operators.extraction import (
             extract_documents,
         )
 
         plan = extract_documents(pages_df)._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
-        filter_pos = plan.find("Filter")
-        pandas_pos = plan.find("MapInPandas")
-        assert filter_pos != -1 and pandas_pos != -1
-        # textual plan prints top-down: python stage line comes BEFORE (above)
-        # the filter line, i.e. executes after it
-        assert pandas_pos < filter_pos
+        assert plan.count("FileScan parquet") == 1
+        # textual plan prints top-down: python stage line comes BEFORE
+        # (above) the native reject-predicate projection, i.e. runs after it
+        assert plan.find("MapInPandas") < plan.find("payload exceeds size cap")
 
     def test_salted_repartition_present(self, spark, pages_df):
         from medical_vector_database_ocr_ner_spark.operators.extraction import (

@@ -1,0 +1,185 @@
+"""Streaming (ST1/ST4) and lineage/resume (north_rule) tests."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tmpdir_clean(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def _make_requests(spark, out_dir):
+    """FIXTURES.md §5: few clients, one exceeding the per-minute limit."""
+    rows = []
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    for i in range(120):  # hot client: 120 req in minute 0 → over 60/min
+        rows.append(("hot", base + timedelta(seconds=i % 60, microseconds=i), "search"))
+    for i in range(30):  # calm client: spread over 30 minutes
+        rows.append(("calm", base + timedelta(minutes=i), "upload"))
+    df = spark.createDataFrame(rows, "client_id string, ts timestamp, endpoint string")
+    df.repartition(2).write.mode("overwrite").parquet(out_dir)
+    return df
+
+
+class TestRateLimit:
+    def test_batch_windows(self, spark, tmpdir_clean):
+        from medical_vector_database_ocr_ner_spark.streaming.rate_limit import (
+            rate_limit_windows,
+        )
+
+        src = os.path.join(tmpdir_clean, "req")
+        df = _make_requests(spark, src)
+        minute, hour = rate_limit_windows(df)
+        m = {(r["client_id"], str(r["window_start"])): r for r in minute.collect()}
+        hot = [v for (c, _), v in m.items() if c == "hot"]
+        assert len(hot) == 1 and hot[0]["n_requests"] == 120 and hot[0]["over_limit"]
+        calm = [v for (c, _), v in m.items() if c == "calm"]
+        assert len(calm) == 30 and all(not v["over_limit"] for v in calm)
+        h = {r["client_id"]: r for r in hour.collect()}
+        assert h["hot"]["n_requests"] == 120 and not h["hot"]["over_limit"]
+
+    def test_streaming_matches_batch(self, spark, tmpdir_clean):
+        """Append-mode windows emit only once the watermark passes them —
+        exactly the reference's 2h-purge semantics. Drive it: drain the real
+        requests, then drain a late sentinel 3h ahead that pushes the
+        watermark past every real window."""
+        from datetime import datetime
+
+        from medical_vector_database_ocr_ner_spark.streaming.rate_limit import (
+            rate_limit_windows, run_rate_limit_stream,
+        )
+
+        src = os.path.join(tmpdir_clean, "req")
+        ckpt = os.path.join(tmpdir_clean, "ckpt")
+        out = os.path.join(tmpdir_clean, "out")
+        df = _make_requests(spark, src)
+
+        q = run_rate_limit_stream(spark, src, ckpt, out)
+        q.awaitTermination(120)
+        # nothing finalized yet: watermark hasn't passed any window
+        # (state still held, matching the not-yet-purged dict entries)
+        sentinel = spark.createDataFrame(
+            [("flusher", datetime(2024, 1, 1, 16, 0, 0), "stats")],
+            "client_id string, ts timestamp, endpoint string",
+        )
+        sentinel.write.mode("append").parquet(src)
+        q2 = run_rate_limit_stream(spark, src, ckpt, out)
+        q2.awaitTermination(120)
+
+        got = spark.read.parquet(out).where("client_id != 'flusher'")
+        want, _ = rate_limit_windows(df)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+class TestIncrementalIngest:
+    def test_ingest_then_idempotent_reingest(self, spark, tmpdir_clean, pages_parquet):
+        from medical_vector_database_ocr_ner_spark.streaming.ingest import (
+            incremental_ingest,
+        )
+
+        src = os.path.join(tmpdir_clean, "pages")
+        os.makedirs(src)
+        for f in os.listdir(pages_parquet):
+            shutil.copy(os.path.join(pages_parquet, f),
+                        os.path.join(src, "a-" + f))
+        out = os.path.join(tmpdir_clean, "out")
+        ckpt = os.path.join(tmpdir_clean, "ckpt")
+
+        q = incremental_ingest(spark, src, out, ckpt)
+        q.awaitTermination(300)
+        docs1 = spark.read.parquet(os.path.join(out, "documents"))
+        emb1 = spark.read.parquet(os.path.join(out, "embeddings"))
+        n_docs1, n_emb1 = docs1.count(), emb1.count()
+        assert n_docs1 == 200
+        assert n_emb1 == emb1.select("vec_id").distinct().count()
+
+        # drop the SAME files again under new names: checkpointed source sees
+        # new files, but the content-hash upsert must add zero embeddings
+        for f in os.listdir(pages_parquet):
+            shutil.copy(os.path.join(pages_parquet, f),
+                        os.path.join(src, "b-" + f))
+        q2 = incremental_ingest(spark, src, out, ckpt)
+        q2.awaitTermination(300)
+        emb2 = spark.read.parquet(os.path.join(out, "embeddings"))
+        assert emb2.count() == n_emb1  # no duplicate embeddings
+        assert emb2.select("vec_id").distinct().count() == n_emb1
+        docs2 = spark.read.parquet(os.path.join(out, "documents"))
+        assert docs2.count() == 2 * n_docs1  # documents log is append-only
+
+
+class TestLineageResume:
+    def test_full_run_then_zero_recompute(self, spark, pages_df, tmpdir_clean):
+        from medical_vector_database_ocr_ner_spark.plans.lineage import (
+            read_documents, read_manifest, run_with_lineage,
+        )
+
+        out = os.path.join(tmpdir_clean, "lineage")
+        r1 = run_with_lineage(spark, pages_df, out, n_buckets=16, run_id="r1")
+        assert r1["processed_buckets"] > 0 and r1["skipped_buckets"] == 0
+        docs1 = read_documents(spark, out)
+        assert docs1.count() == 200
+
+        # resume: everything committed → zero recompute (north_rule)
+        r2 = run_with_lineage(spark, pages_df, out, n_buckets=16, run_id="r2")
+        assert r2["processed_buckets"] == 0
+        assert r2["skipped_buckets"] == r1["processed_buckets"]
+        assert read_documents(spark, out).count() == 200
+        m = read_manifest(spark, out + "/manifest")
+        assert m.where(F.col("run_id") == "r2").count() == 0
+
+    def test_partial_manifest_resumes_only_missing(self, spark, pages_df, tmpdir_clean):
+        from medical_vector_database_ocr_ner_spark.plans.lineage import (
+            read_documents, read_manifest, run_with_lineage,
+        )
+
+        out = os.path.join(tmpdir_clean, "lineage")
+        run_with_lineage(spark, pages_df, out, n_buckets=16, run_id="r1")
+        full = {r["url"]: r for r in read_documents(spark, out).collect()}
+        manifest_dir = os.path.join(out, "manifest")
+
+        # simulate a crash after half the buckets committed: rewrite the
+        # manifest keeping only even buckets
+        m = spark.read.parquet(manifest_dir).cache()
+        m.count()
+        kept = m.where(F.col("bucket") % 2 == 0)
+        kept.write.mode("overwrite").parquet(os.path.join(out, "manifest2"))
+        shutil.rmtree(manifest_dir)
+        shutil.move(os.path.join(out, "manifest2"), manifest_dir)
+        n_kept = kept.count()
+        m.unpersist()
+
+        r2 = run_with_lineage(spark, pages_df, out, n_buckets=16, run_id="r2")
+        assert r2["skipped_buckets"] == n_kept
+        assert r2["processed_buckets"] > 0
+
+        # final output identical to the uninterrupted run (byte-level fields)
+        docs2 = {r["url"]: r for r in read_documents(spark, out).collect()}
+        assert set(docs2) == set(full)
+        for url, row in docs2.items():
+            assert row["extracted_text"] == full[url]["extracted_text"], url
+            assert row["content_hash"] == full[url]["content_hash"], url
+        # re-processed buckets carry r2 metrics; untouched keep r1
+        m2 = read_manifest(spark, manifest_dir)
+        assert m2.select("bucket").distinct().count() == 16
+        assert m2.where(F.col("run_id") == "r2").count() == r2["processed_buckets"]
+
+    def test_metrics_content(self, spark, pages_df, tmpdir_clean):
+        from medical_vector_database_ocr_ner_spark.plans.lineage import (
+            read_manifest, run_with_lineage,
+        )
+
+        out = os.path.join(tmpdir_clean, "lineage")
+        run_with_lineage(spark, pages_df, out, n_buckets=8, run_id="r1")
+        m = read_manifest(spark, out + "/manifest")
+        rows = m.collect()
+        assert sum(r["n_docs"] for r in rows) == 200
+        assert all(r["n_ok"] + r["n_err"] == r["n_docs"] for r in rows)
+        assert all(r["url_min"] <= r["url_max"] for r in rows)
+        assert all(r["wall_ms"] >= 0 for r in rows)
