@@ -181,7 +181,13 @@ class TestPlanShape:
             extract_documents,
         )
 
-        plan = extract_documents(pages_df)._jdf.queryExecution().executedPlan().toString()
+        # num_partitions=7 keeps this plan distinct from the cached
+        # documents_df fixture plan — otherwise Spark's cache manager
+        # substitutes the whole subtree with an InMemoryTableScan
+        plan = (
+            extract_documents(pages_df, num_partitions=7)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
         assert "MapInPandas" in plan
         assert plan.count("FileScan parquet") == 1
         # textual plan prints top-down: python stage line comes BEFORE
