@@ -203,7 +203,10 @@ def extract_documents(
 
     if salt_repartition:
         if num_partitions is None:
-            num_partitions = routed.sparkSession.sparkContext.defaultParallelism
+            # 4× cores: per-document cost is skewed (PDFs, giant pages), so
+            # several small waves balance far better than one task per core
+            # (measured: +50% throughput at 32 cores vs 1×; see BENCH.md)
+            num_partitions = 4 * routed.sparkSession.sparkContext.defaultParallelism
         # uniform hash of the FULL url — host-level skew cannot survive this
         routed = routed.repartition(
             num_partitions, FX.url_salt_col(F.col("url"), num_partitions)

@@ -1,13 +1,21 @@
 """Scaling-efficiency evidence (north_rule): the same extraction job at two
-parallelism levels — local[8] (N) vs local[32] (4N) — on the SAME input.
-Sandbox stand-in for N vs 4N executor clusters (BASELINE.md).
+parallelism levels on the SAME input — the sandbox stand-in for N vs 4N
+executor clusters (BASELINE.md).
 
-efficiency = (throughput_32 / throughput_8) / 4      (target ≥ 0.8)
+efficiency(N→4N) = (throughput_4N / throughput_N) / 4      (target ≥ 0.8)
+
+Measures TWO pairs by default: local[4]→local[16] and local[8]→local[32].
+The 8→32 pair saturates the 32-core host, so it also carries the ceiling of
+the hardware itself (a pure-Python multiprocessing control of the same
+per-doc work measures ~0.80 at 8→32 procs on this box); 4→16 shows the
+framework's scaling with headroom left. Tuning that matters (see BENCH.md):
+num_partitions = 8×cores so the salted-shuffle waves stay balanced under
+per-document cost skew; Arrow batches of 16k rows.
 
 Each level runs in its own subprocess (a JVM's master is fixed at startup).
-Writes results into BENCH.md and prints one JSON line.
+Prints one JSON line.
 
-Usage: python tools/scaling_bench.py [n_pages] [repeats]
+Usage: python tools/scaling_bench.py [n_pages] [repeats] [pairs like 4,16 8,32]
 """
 
 from __future__ import annotations
@@ -18,7 +26,7 @@ import subprocess
 import sys
 
 WORKER = r"""
-import json, os, sys, time
+import json, sys, time
 sys.path.insert(0, ".")
 from medical_vector_database_ocr_ner_spark.session import get_spark
 from medical_vector_database_ocr_ner_spark.sources.pages import pages_path
@@ -26,15 +34,16 @@ from medical_vector_database_ocr_ner_spark.operators.extraction import extract_d
 
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); repeats = int(sys.argv[3])
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=cpus,
+                  extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "16384"})
 pages = spark.read.parquet(pages_path(n_pages))
 pages.count()  # warm scan
-# warm-up extraction (JIT + python workers), then measured repeats
-extract_documents(pages, num_partitions=cpus * 4).count()
+kw = dict(num_partitions=cpus * 8)  # small tasks: straggler-resistant waves
+extract_documents(pages, **kw).count()  # warm JIT + python workers
 best = None
 for _ in range(repeats):
     t0 = time.time()
-    n = extract_documents(pages, num_partitions=cpus * 4).count()
+    extract_documents(pages, **kw).count()
     dt = time.time() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({"cpus": cpus, "n_pages": n_pages, "sec": round(best, 3),
@@ -54,19 +63,27 @@ def run_level(cpus: int, n_pages: int, repeats: int) -> dict:
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    r8 = run_level(8, n_pages, repeats)
-    r32 = run_level(32, n_pages, repeats)
-    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
-    result = {
-        "n_pages": n_pages,
-        "local8": r8,
-        "local32": r32,
-        "scaling_efficiency": round(eff, 3),
-        "target": 0.8,
-        "pass": eff >= 0.8,
-    }
+    pairs = [tuple(map(int, p.split(","))) for p in sys.argv[3:]] or [(4, 16), (8, 32)]
+
+    levels: dict[int, dict] = {}
+    for lo, hi in pairs:
+        for c in (lo, hi):
+            if c not in levels:
+                levels[c] = run_level(c, n_pages, repeats)
+
+    result = {"n_pages": n_pages,
+              "levels": {str(c): levels[c] for c in sorted(levels)},
+              "pairs": {}}
+    overall = True
+    for lo, hi in pairs:
+        eff = (levels[hi]["docs_per_sec"] / levels[lo]["docs_per_sec"]) / (hi / lo)
+        result["pairs"][f"{lo}->{hi}"] = {
+            "scaling_efficiency": round(eff, 3), "target": 0.8, "pass": eff >= 0.8,
+        }
+        overall = overall and eff >= 0.8
+    result["pass"] = overall
     print(json.dumps(result))
 
 
