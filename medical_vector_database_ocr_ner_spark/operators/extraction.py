@@ -207,10 +207,12 @@ def extract_documents(
             # several small waves balance far better than one task per core
             # (measured: +50% throughput at 32 cores vs 1×; see BENCH.md)
             num_partitions = 4 * routed.sparkSession.sparkContext.defaultParallelism
-        # uniform hash of the FULL url — host-level skew cannot survive this
-        routed = routed.repartition(
-            num_partitions, FX.url_salt_col(F.col("url"), num_partitions)
-        )
+        # hash-repartition on the FULL url: every row is hashed
+        # independently, so host-level skew cannot survive. (Partitioning on
+        # a precomputed pmod(xxhash64(url), N) salt column is WORSE: Spark
+        # re-hashes the N salt values, whose collisions leave ~40% of
+        # partitions empty and others doubled — measured in tests/test_skew.)
+        routed = routed.repartition(num_partitions, F.col("url"))
 
     docs = routed.mapInPandas(extract_partition, schema=DOCUMENT_SCHEMA)
 

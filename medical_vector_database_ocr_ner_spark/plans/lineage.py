@@ -67,10 +67,10 @@ def run_with_lineage(
         return {"processed_buckets": 0, "skipped_buckets": n_done}
 
     t0 = time.time()
-    # salt_repartition off: we shuffle ON the bucket instead so the output
-    # partitioning, the lineage unit, and the skew defeat are one shuffle
+    # one shuffle keyed on url (uniform); the bucket column is recomputed
+    # after extraction purely as the output-partition / lineage key
     docs = extract_documents(
-        todo.repartition(n_buckets, "bucket").select(
+        todo.repartition(n_buckets, F.col("url")).select(
             "url", "warc_ts", "html", "text", "lang"
         ),
         salt_repartition=False,

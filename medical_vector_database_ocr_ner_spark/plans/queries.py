@@ -952,6 +952,24 @@ SELECT source, count(*) AS n_spans FROM (
 """
 
 
+def q_rollup_event_stats(spark, sf):
+    """ROLLUP grouping sets (free in Catalyst, exposed per SURVEY §2.5 note):
+    (event_type, hour) → subtotals per type → grand total."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"), "value")
+        .rollup("event_type", "hour")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT event_type, hour, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events)
+GROUP BY ROLLUP (event_type, hour)
+"""
+
+
 def q_embedding_near_dups(spark, sf):
     """Embedding-cosine near-dup (LSH sign-bucket join + exact cosine inside
     buckets — never all-pairs). Threshold 0.3 fits the random-ish fixture
@@ -1088,6 +1106,7 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_score": QuerySpec(q_quality_score, ORACLE_QUALITY),
     "token_counts": QuerySpec(q_token_counts, ORACLE_TOKEN_COUNTS),
     "union_dedup_priority": QuerySpec(q_union_dedup_priority, ORACLE_UNION_DEDUP),
+    "rollup_event_stats": QuerySpec(q_rollup_event_stats, ORACLE_ROLLUP),
     "embedding_near_dups": QuerySpec(q_embedding_near_dups, ORACLE_NEAR_DUPS),
     "ivf_topk": QuerySpec(q_ivf_topk, None,
                           "ANN recall asserted vs brute force in pytest"),

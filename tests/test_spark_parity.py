@@ -194,13 +194,16 @@ class TestPlanShape:
         # (above) the native reject-predicate projection, i.e. runs after it
         assert plan.find("MapInPandas") < plan.find("payload exceeds size cap")
 
-    def test_salted_repartition_present(self, spark, pages_df):
+    def test_url_hash_repartition_present(self, spark, pages_df):
         from medical_vector_database_ocr_ner_spark.operators.extraction import (
             extract_documents,
         )
 
-        plan = extract_documents(pages_df)._jdf.queryExecution().executedPlan().toString()
-        assert "xxhash64" in plan and "pmod" in plan
+        plan = (
+            extract_documents(pages_df, num_partitions=9)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning(url" in plan
 
     def test_search_uses_take_ordered(self, spark, documents_df):
         from medical_vector_database_ocr_ner_spark.plans.pipeline import (
