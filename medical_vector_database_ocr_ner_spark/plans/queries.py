@@ -1118,3 +1118,13 @@ QUERIES: dict[str, QuerySpec] = {
     "semantic_search": QuerySpec(q_semantic_search, None,
                                  "top-k vs brute-force in pytest"),
 }
+
+
+def _load_ext() -> None:
+    # bottom-of-module import: queries_ext needs QuerySpec/_t from this file
+    from .queries_ext import EXT_QUERIES
+
+    QUERIES.update(EXT_QUERIES)
+
+
+_load_ext()

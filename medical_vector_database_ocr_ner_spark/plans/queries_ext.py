@@ -1,0 +1,311 @@
+"""Registry extension: relational breadth + dedup-cluster queries.
+
+Second wave of driver-gate queries (same QuerySpec/oracle conventions as
+plans/queries.py — see that module's docstring for the hash-parity rules):
+
+- as-of join via the union-sentinel pattern (operators/asof.py) vs
+  DuckDB's native ASOF LEFT JOIN — the scalable encoding of the
+  "most recent state at event time" lookup;
+- exact interpolated percentiles, CUBE grouping sets, pivot tables;
+- semi/anti joins (EXISTS / NOT EXISTS shapes), INTERSECT/EXCEPT;
+- running (prefix-window) aggregation;
+- near-dup clusters: minhash-LSH candidate pairs → connected components
+  (operators/components.py) vs a recursive-CTE oracle;
+- HLL sketch distinct counts (rows-only; tolerance-tested in pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries import ORACLE_MINHASH_SIG, QuerySpec, _t, q_minhash_signatures
+
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+# === as-of join =============================================================
+
+def q_asof_last_error(spark, sf):
+    """As-of join: for every click event, the most recent error event by the
+    same user at-or-before the click (union-sentinel: one shuffle on user_id,
+    no inequality join — SURVEY §2.3 'idiomatic Spark fallout' made real)."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("err_id"),
+        F.col("value").alias("err_value"),
+    )
+    joined = asof_join(
+        clicks, errors, on="user_id", right_cols=["err_id", "err_value"],
+        prefix="last_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "last_err_id",
+        F.round("last_err_value", 4).alias("last_err_value"),
+    )
+
+
+ORACLE_ASOF = """
+SELECT c.event_id, c.user_id,
+       e.event_id AS last_err_id,
+       round(e.value, 4) AS last_err_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND e.ts <= c.ts
+"""
+
+
+# === percentiles / grouping sets / pivot ====================================
+
+def q_value_percentiles(spark, sf):
+    """Exact interpolated percentiles per event_type (single shuffle;
+    at 100 TB swap F.percentile for percentile_approx — same plan shape)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_cube_lineitem(spark, sf):
+    """CUBE grouping sets over (returnflag, linestatus) — free in Catalyst
+    (SURVEY §2.5 note: exposed because grouping sets cost one expand node)."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_lang_source_pivot(spark, sf):
+    """Pivot: per-source language histogram as wide columns (explicit value
+    list → no extra pass to discover pivot keys; nulls → 0 to match the
+    conditional-aggregation oracle)."""
+    docs = _t(spark, sf, "documents")
+    wide = docs.groupBy("source").pivot("lang", LANGS).count()
+    return wide.select(
+        "source", *[F.coalesce(F.col(lang), F.lit(0)).alias(lang) for lang in LANGS]
+    )
+
+
+ORACLE_PIVOT = """
+SELECT source,
+       count_if(lang = 'de') AS de,
+       count_if(lang = 'en') AS en,
+       count_if(lang = 'es') AS es,
+       count_if(lang = 'fr') AS fr,
+       count_if(lang = 'zh') AS zh
+FROM documents GROUP BY source
+"""
+
+
+# === semi / anti joins, set ops =============================================
+
+def q_orders_with_heavy_lines(spark, sf):
+    """LEFT SEMI join (EXISTS shape): orders having at least one heavy
+    lineitem; the filter runs fact-side BEFORE the shuffle, the semi join
+    never duplicates order rows."""
+    orders, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    heavy = li.where(F.col("l_quantity") >= 49)
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORACLE_SEMI = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark, sf):
+    """LEFT ANTI join (NOT EXISTS shape): customers with no high-value
+    order, counted per market segment (threshold keeps both join sides
+    non-degenerate at every sf)."""
+    cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    pricey = orders.where(F.col("o_totalprice") >= 400000)
+    return (
+        cust.join(pricey, cust.c_custkey == pricey.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice >= 400000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_user_segment_setops(spark, sf):
+    """INTERSECT + EXCEPT: users who both clicked and signed up but never
+    errored ((click ∩ signup) ∖ error — distinct set semantics)."""
+    ev = _t(spark, sf, "events")
+
+    def users(t: str, before: str):
+        return (
+            ev.where((F.col("event_type") == t) & (F.col("ts") < F.lit(before)))
+            .select("user_id")
+            .distinct()
+        )
+
+    return (
+        users("click", "2024-01-03")
+        .intersect(users("signup", "2024-01-03"))
+        .subtract(users("error", "2024-01-02"))
+    )
+
+
+ORACLE_SETOPS = """
+SELECT user_id FROM events
+WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-03'
+INTERSECT
+SELECT user_id FROM events
+WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-03'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02'
+"""
+
+
+# === running window =========================================================
+
+def q_user_running_value(spark, sf):
+    """Running (prefix) sum per user over event time — ROWS UNBOUNDED
+    PRECEDING frame, one shuffle on user_id, sequential in-frame
+    accumulation (identical fp order on both engines)."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+"""
+
+
+# === near-dup clusters (connected components) ===============================
+
+def q_dup_clusters(spark, sf):
+    """Near-dup clusters: minhash signature collisions → candidate pairs →
+    connected components (iterative min-label propagation, O(diameter)
+    shuffle rounds) → every doc labeled with its cluster id; singletons are
+    their own cluster. The 'keep one per cluster' dedup is then a trivial
+    min-per-group."""
+    from ..operators.components import duplicate_clusters
+
+    sig = q_minhash_signatures(spark, sf)
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.m0") == F.col("b.m0"))
+        & (F.col("a.m1") == F.col("b.m1"))
+        & (F.col("a.m2") == F.col("b.m2"))
+        & (F.col("a.m3") == F.col("b.m3"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    docs = _t(spark, sf, "documents")
+    return duplicate_clusters(docs, pairs, "doc_id", "da", "db")
+
+
+ORACLE_DUP_CLUSTERS = f"""
+WITH RECURSIVE sig AS ({ORACLE_MINHASH_SIG}),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sig a JOIN sig b
+    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3
+   AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db AS a, da AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+# === sketches (rows-only) ===================================================
+
+def q_hll_distinct_tokens(spark, sf):
+    """HLL++ sketch vs exact distinct token count per language — the
+    at-scale cardinality path (sketches merge map-side; exact distinct
+    shuffles every token). Tolerance vs exact asserted in pytest
+    (tests/test_operators.py); driver check is rows-only."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    return toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("n_exact"),
+        F.approx_count_distinct("tok", 0.02).alias("n_hll"),
+    )
+
+
+EXT_QUERIES: dict[str, QuerySpec] = {
+    "asof_last_error": QuerySpec(q_asof_last_error, ORACLE_ASOF),
+    "value_percentiles": QuerySpec(q_value_percentiles, ORACLE_PERCENTILES),
+    "cube_lineitem": QuerySpec(q_cube_lineitem, ORACLE_CUBE),
+    "lang_source_pivot": QuerySpec(q_lang_source_pivot, ORACLE_PIVOT),
+    "orders_with_heavy_lines": QuerySpec(q_orders_with_heavy_lines, ORACLE_SEMI),
+    "customers_without_orders": QuerySpec(q_customers_without_orders, ORACLE_ANTI),
+    "user_segment_setops": QuerySpec(q_user_segment_setops, ORACLE_SETOPS),
+    "user_running_value": QuerySpec(q_user_running_value, ORACLE_RUNNING),
+    "dup_clusters": QuerySpec(q_dup_clusters, ORACLE_DUP_CLUSTERS),
+    "hll_distinct_tokens": QuerySpec(
+        q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
+    ),
+}

@@ -1,0 +1,130 @@
+"""Unit tests for the second-wave operators: as-of join (union-sentinel),
+connected components (min-label propagation), HLL sketch tolerance."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_matches_hand_computed(self, spark):
+        from medical_vector_database_ocr_ner_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [
+                (1, "u1", _ts("2024-01-01 10:00:00")),   # after e1
+                (2, "u1", _ts("2024-01-01 12:00:00")),   # exactly at e2 → e2
+                (3, "u1", _ts("2024-01-01 09:00:00")),   # before any → null
+                (4, "u2", _ts("2024-01-01 10:00:00")),   # other key → e3
+                (5, "u3", _ts("2024-01-01 10:00:00")),   # key w/o rights → null
+            ],
+            "click_id long, user string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u1", _ts("2024-01-01 09:30:00"), 100),  # e1
+                ("u1", _ts("2024-01-01 12:00:00"), 200),  # e2
+                ("u2", _ts("2024-01-01 08:00:00"), 300),  # e3
+            ],
+            "user string, ts timestamp, err long",
+        )
+        out = asof_join(left, right, on="user", right_cols=["err"])
+        got = {r["click_id"]: r["asof_err"] for r in out.collect()}
+        assert got == {1: 100, 2: 200, 3: None, 4: 300, 5: None}
+
+    def test_null_payload_right_row_still_matches(self, spark):
+        """A right row whose payload is NULL must still win over an older
+        non-null row (the struct wrapper exists exactly for this)."""
+        from medical_vector_database_ocr_ner_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u", _ts("2024-01-01 10:00:00"))],
+            "click_id long, user string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u", _ts("2024-01-01 08:00:00"), 7),
+                ("u", _ts("2024-01-01 09:00:00"), None),
+            ],
+            "user string, ts timestamp, err long",
+        )
+        out = asof_join(left, right, on="user", right_cols=["err"])
+        assert out.collect()[0]["asof_err"] is None
+
+    def test_no_inequality_join_in_plan(self, spark):
+        """Plan shape: exactly one exchange (on the key), no BroadcastNested
+        LoopJoin / CartesianProduct — the whole point of the pattern."""
+        from medical_vector_database_ocr_ner_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u", _ts("2024-01-01 10:00:00"))],
+            "click_id long, user string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("u", _ts("2024-01-01 08:00:00"), 7)],
+            "user string, ts timestamp, err long",
+        )
+        out = asof_join(left, right, on="user")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        from medical_vector_database_ocr_ner_spark.operators.components import (
+            connected_components,
+        )
+
+        # two components: a 4-node path 1-2-3-4 (diameter 3 → needs >1
+        # iteration) and a triangle 10-11-12
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+            "src long, dst long",
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    def test_singletons_kept_in_clusters(self, spark):
+        from medical_vector_database_ocr_ner_spark.operators.components import (
+            duplicate_clusters,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], "da long, db long")
+        got = {
+            r["doc_id"]: r["cluster"]
+            for r in duplicate_clusters(docs, pairs, "doc_id", "da", "db").collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+
+
+class TestSketches:
+    def test_hll_within_tolerance(self, spark, sf001_dir):
+        from medical_vector_database_ocr_ner_spark.plans.queries import QUERIES
+
+        rows = QUERIES["hll_distinct_tokens"].fn(spark, sf001_dir).collect()
+        assert rows
+        for r in rows:
+            rel_err = abs(r["n_hll"] - r["n_exact"]) / max(r["n_exact"], 1)
+            assert rel_err < 0.05, (r["lang"], r["n_exact"], r["n_hll"])
+
+
+class TestRegistryExt:
+    def test_ext_queries_registered_and_runnable(self, spark, sf001_dir):
+        from medical_vector_database_ocr_ner_spark.plans.queries import QUERIES
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            EXT_QUERIES,
+        )
+
+        assert set(EXT_QUERIES) <= set(QUERIES)
+        for name, spec in EXT_QUERIES.items():
+            df = spec.fn(spark, sf001_dir)
+            assert df.columns, name
+            df.limit(1).collect()
