@@ -34,6 +34,9 @@ HEADLINE = [
     "simhash16",
     "doc_fingerprint",
     "quality_score",
+    "asof_last_error",
+    "value_percentiles",
+    "dup_clusters",
     "pages_extraction",
     "semantic_search",
 ]

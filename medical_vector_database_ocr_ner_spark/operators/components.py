@@ -60,18 +60,36 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["node"] == F.col("node2"), "left"
+        ).select(
+            "node",
+            F.least("component", F.coalesce("nbr_min", "component")).alias(
+                "component"
+            ),
+            (F.coalesce("nbr_min", "component") < F.col("component")).alias(
+                "_changed"
+            ),
+        )
+        # pointer jumping (path compression): component ← label of the
+        # component node — halves the remaining diameter every round, so
+        # convergence is O(log d) rounds instead of O(d)
+        parents = propagated.select(
+            F.col("node").alias("pnode"), F.col("component").alias("pcomp")
+        )
         updated = (
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            propagated.join(
+                parents, propagated["component"] == F.col("pnode"), "left"
+            )
             .select(
                 "node",
                 F.least(
-                    "component", F.coalesce("nbr_min", "component")
+                    "component", F.coalesce("pcomp", "component")
                 ).alias("component"),
-                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
-                    "_changed"
-                ),
+                "_changed",
             )
-        ).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
+        )
         n_changed = updated.where("_changed").count()
         labels = updated.drop("_changed")
         if n_changed == 0:

@@ -18,14 +18,23 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 
-def build_embeddings(documents: "DataFrame") -> "DataFrame":
+def build_embeddings(
+    documents: "DataFrame", carry_cols: list[str] | None = None
+) -> "DataFrame":
     """documents → embeddings table (FIXTURES.md §3).
 
     Scale shape (SURVEY.md §4.2 #4): the reference's per-text embedding
     cache (vector_service.py:293-319) becomes dedup-before-compute —
     ``dropDuplicates(content_hash)`` guarantees each distinct document text
     embeds exactly once, which is strictly more scalable than a TTL cache.
-    The sink is keyed by content hash (north_star bulk write)."""
+    The sink is keyed by content hash (north_star bulk write).
+
+    carry_cols: extra document columns to ride along (one value per
+    content hash). When the search result needs hydration and the
+    documents DataFrame is itself an unmaterialized extraction plan,
+    carrying the columns here keeps extraction to ONE pass — a
+    hydration join back against the same plan would recompute the whole
+    UDF stage for the second branch."""
     completed = documents.where(F.col("status") == "completed")
 
     doc_text = FX.document_text_col(
@@ -53,6 +62,7 @@ def build_embeddings(documents: "DataFrame") -> "DataFrame":
             F.col("content_hash").alias("vec_id"),
             doc_text.alias("doc_text"),
             entity_types.alias("entity_types"),
+            *[F.col(c) for c in (carry_cols or [])],
         )
         .dropDuplicates(["vec_id"])
     )
@@ -75,6 +85,7 @@ def search_topk(
     query_text: str,
     k: int = 10,
     documents: "DataFrame | None" = None,
+    extra_cols: list[str] | None = None,
 ) -> "DataFrame":
     """§3.2 search plan: embed the query once on the driver, score every
     stored vector JVM-side, distributed top-k (TakeOrderedAndProject — no
@@ -89,6 +100,7 @@ def search_topk(
     scored = embeddings.select(
         "vec_id",
         _dot_product(F.col("embedding"), qvec).alias("similarity"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
     topk = scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(k)
     if documents is not None:

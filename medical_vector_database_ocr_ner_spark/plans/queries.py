@@ -1060,13 +1060,25 @@ def q_pdf_page_explode(spark, sf):
 
 
 def q_semantic_search(spark, sf):
-    """§3.2 semantic top-k over the extracted corpus (UDF embeddings)."""
+    """§3.2 semantic top-k over the extracted corpus (UDF embeddings).
+
+    Hydration columns are carried through the embedding build instead of
+    joined back against the extraction plan — one extraction pass, not two
+    (the join encoding recomputes the whole UDF stage for its second
+    branch when the documents side is not a materialized table)."""
     from ..operators.extraction import extract_documents
     from .pipeline import build_embeddings, search_topk
 
     docs = extract_documents(_pages_for_sf(spark, sf))
-    emb = build_embeddings(docs)
-    return search_topk(emb, "Metformin diabetes prescription", 10, documents=docs)
+    emb = build_embeddings(
+        docs, carry_cols=["url", "extracted_text", "entity_count"]
+    )
+    return search_topk(
+        emb,
+        "Metformin diabetes prescription",
+        10,
+        extra_cols=["url", "extracted_text", "entity_count"],
+    )
 
 
 # === registry ===============================================================

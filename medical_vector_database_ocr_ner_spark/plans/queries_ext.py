@@ -232,39 +232,46 @@ FROM events
 # === near-dup clusters (connected components) ===============================
 
 def q_dup_clusters(spark, sf):
-    """Near-dup clusters: minhash signature collisions → candidate pairs →
-    connected components (iterative min-label propagation, O(diameter)
-    shuffle rounds) → every doc labeled with its cluster id; singletons are
-    their own cluster. The 'keep one per cluster' dedup is then a trivial
-    min-per-group."""
+    """Near-dup clusters: 2-band minhash-LSH → **star contraction** →
+    connected components → every doc labeled with its cluster id
+    (singletons are their own cluster); 'keep one per cluster' dedup is
+    then a trivial min-per-group.
+
+    Star contraction is the at-scale move: a bucket of k colliding docs is
+    a k-clique, and materializing its k²/2 candidate pairs explodes (this
+    corpus has a 2,270-doc bucket → 2.6M pairs from one bucket). Instead
+    each doc emits ONE edge to the min doc-id of its (band, bucket) —
+    linear in docs, identical connectivity — and CC runs on the tiny star
+    graph (bands chain through shared docs, so CC is genuinely needed)."""
     from ..operators.components import duplicate_clusters
 
     sig = q_minhash_signatures(spark, sf)
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.m0") == F.col("b.m0"))
-        & (F.col("a.m1") == F.col("b.m1"))
-        & (F.col("a.m2") == F.col("b.m2"))
-        & (F.col("a.m3") == F.col("b.m3"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    stars = []
+    for cols in (["m0", "m1"], ["m2", "m3"]):
+        w = Window.partitionBy(*cols)
+        stars.append(
+            sig.select(
+                F.col("doc_id").alias("da"),
+                F.min("doc_id").over(w).alias("db"),
+            ).where(F.col("db") < F.col("da"))
+        )
+    edges = stars[0].unionByName(stars[1])
     docs = _t(spark, sf, "documents")
-    return duplicate_clusters(docs, pairs, "doc_id", "da", "db")
+    return duplicate_clusters(docs, edges, "doc_id", "da", "db")
 
 
 ORACLE_DUP_CLUSTERS = f"""
 WITH RECURSIVE sig AS ({ORACLE_MINHASH_SIG}),
-pairs AS (
-  SELECT a.doc_id AS da, b.doc_id AS db
-  FROM sig a JOIN sig b
-    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3
-   AND a.doc_id < b.doc_id
+stars AS (
+  SELECT doc_id AS da, min(doc_id) OVER (PARTITION BY m0, m1) AS db FROM sig
+  UNION ALL
+  SELECT doc_id AS da, min(doc_id) OVER (PARTITION BY m2, m3) AS db FROM sig
 ),
+edges AS (SELECT da, db FROM stars WHERE db < da),
 sym AS (
-  SELECT da AS a, db AS b FROM pairs
+  SELECT da AS a, db AS b FROM edges
   UNION
-  SELECT db AS a, da AS b FROM pairs
+  SELECT db AS a, da AS b FROM edges
 ),
 reach(a, b) AS (
   SELECT a, b FROM sym

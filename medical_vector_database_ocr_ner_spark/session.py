@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # managed-table warehouse (bucketed tables, sources/bucketed.py)
+        # kept out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mvdb-warehouse"),
+        )
         # ANSI off: binary payloads are untrusted — decode/cast on a hostile
         # byte string must yield null (quarantine), never kill the job
         .config("spark.sql.ansi.enabled", "false")

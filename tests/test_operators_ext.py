@@ -116,6 +116,37 @@ class TestSketches:
             assert rel_err < 0.05, (r["lang"], r["n_exact"], r["n_hll"])
 
 
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, sf001_dir):
+        """Write orders+lineitem bucketed on orderkey, join: zero
+        Exchange hashpartitioning in the executed plan, same result as
+        the shuffled join — the co-located-join layout for 100 TB."""
+        from medical_vector_database_ocr_ner_spark.sources.bucketed import (
+            bucketed_join,
+            write_bucketed,
+        )
+
+        orders = spark.read.parquet(f"{sf001_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf001_dir}/lineitem.parquet").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "t_orders_b", "o_orderkey", 8)
+        write_bucketed(li, "t_lineitem_b", "o_orderkey", 8)
+
+        joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        # disable broadcast so the join exercises the bucketed SMJ path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            n = joined.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        expected = orders.join(li, "o_orderkey").count()
+        assert n == expected and n > 0
+
+
 class TestRegistryExt:
     def test_ext_queries_registered_and_runnable(self, spark, sf001_dir):
         from medical_vector_database_ocr_ner_spark.plans.queries import QUERIES
