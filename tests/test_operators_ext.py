@@ -147,6 +147,44 @@ class TestBucketedJoin:
         assert n == expected and n > 0
 
 
+class TestPartitionPruning:
+    def test_date_range_scan_prunes_partitions(self, spark, pages_df, tmp_path_factory):
+        """The date filter lands in PartitionFilters (planning-time
+        directory pruning), not PushedFilters (file-level), and the pruned
+        scan returns exactly the rows of the selected dates."""
+        from medical_vector_database_ocr_ner_spark.sources.partitioned import (
+            read_pages_range,
+            write_pages_partitioned,
+        )
+
+        path = str(tmp_path_factory.mktemp("pages_part") / "pages")
+        # fixture pages all share one capture date; spread them over 10
+        # deterministic days so the layout has partitions to prune
+        spread = pages_df.withColumn(
+            "warc_ts",
+            F.timestamp_add(
+                "DAY", F.pmod(F.xxhash64("url"), F.lit(10)).cast("int"), "warc_ts"
+            ),
+        )
+        write_pages_partitioned(spread, path)
+
+        all_dates = sorted(
+            r["warc_date"]
+            for r in spark.read.parquet(path).select("warc_date").distinct().collect()
+        )
+        assert len(all_dates) >= 3, "fixture should span several capture dates"
+        lo, hi = str(all_dates[0]), str(all_dates[1])
+
+        scan = read_pages_range(spark, path, lo, hi)
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "warc_date" in plan.split(
+            "PartitionFilters", 1
+        )[1].split("]", 1)[0]
+
+        expected = spread.where(F.to_date("warc_ts").between(lo, hi)).count()
+        assert scan.count() == expected and 0 < expected < pages_df.count()
+
+
 class TestRegistryExt:
     def test_ext_queries_registered_and_runnable(self, spark, sf001_dir):
         from medical_vector_database_ocr_ner_spark.plans.queries import QUERIES

@@ -183,3 +183,45 @@ class TestLineageResume:
         assert all(r["n_ok"] + r["n_err"] == r["n_docs"] for r in rows)
         assert all(r["url_min"] <= r["url_max"] for r in rows)
         assert all(r["wall_ms"] >= 0 for r in rows)
+
+
+class TestStreamingDedup:
+    def test_in_horizon_duplicates_dropped(self, spark, tmpdir_clean):
+        """ST2 streaming form: the same payload re-crawled within the
+        watermark horizon is dropped in-flight by
+        dropDuplicatesWithinWatermark — one output row per distinct
+        content hash, state bounded by the horizon."""
+        from datetime import datetime, timedelta
+
+        from medical_vector_database_ocr_ner_spark.streaming.dedup import (
+            run_dedup_stream,
+        )
+
+        src = os.path.join(tmpdir_clean, "pages_src")
+        out = os.path.join(tmpdir_clean, "deduped")
+        ckpt = os.path.join(tmpdir_clean, "ckpt")
+
+        base = datetime(2024, 1, 1, 12, 0, 0)
+        payloads = [b"<p>alpha</p>", b"<p>beta</p>", b"<p>gamma</p>"]
+        rows = []
+        for i in range(9):  # each payload appears 3x within one hour
+            rows.append(
+                (
+                    f"https://h{i}.example.com/p",
+                    base + timedelta(minutes=7 * i),
+                    payloads[i % 3],
+                    "",
+                    "en",
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        df.repartition(3).write.mode("overwrite").parquet(src)
+
+        q = run_dedup_stream(spark, src, out, ckpt)
+        q.awaitTermination()
+
+        res = spark.read.parquet(out)
+        hashes = [r["content_hash"] for r in res.collect()]
+        assert len(hashes) == 3 and len(set(hashes)) == 3
