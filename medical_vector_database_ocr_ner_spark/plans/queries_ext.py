@@ -125,6 +125,55 @@ FROM documents GROUP BY source
 """
 
 
+def q_revenue_by_nation(spark, sf):
+    """TPC-H Q5 shape: 6-table join (fact lineitem against orders + two
+    nation-keyed dims + region), local-supplier condition, revenue agg.
+    Dims are broadcast (hinted + under the 64 MB auto threshold); the only
+    big shuffles are lineitem⋈orders and the final agg — Catalyst orders
+    the rest."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_REVENUE_NATION = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 # === semi / anti joins, set ops =============================================
 
 def q_orders_with_heavy_lines(spark, sf):
@@ -229,6 +278,36 @@ FROM events
 """
 
 
+def q_sliding_hour_avg(spark, sf):
+    """Event-time sliding aggregate: per event, the mean value of the same
+    user's events in the trailing hour — RANGE frame over epoch seconds
+    (one shuffle on user_id; the frame is evaluated with a moving pointer,
+    not a self-join)."""
+    ev = _t(spark, sf, "events")
+    # whole-second epoch key on both engines (unix_timestamp floors; the
+    # DuckDB oracle floors epoch() the same way); RANGE includes peers, so
+    # intra-second order never matters
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("hour_avg"),
+    )
+
+
+ORACLE_SLIDING = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+           PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_avg
+FROM events
+"""
+
+
 # === near-dup clusters (connected components) ===============================
 
 def q_dup_clusters(spark, sf):
@@ -304,6 +383,7 @@ def q_hll_distinct_tokens(spark, sf):
 
 EXT_QUERIES: dict[str, QuerySpec] = {
     "asof_last_error": QuerySpec(q_asof_last_error, ORACLE_ASOF),
+    "revenue_by_nation": QuerySpec(q_revenue_by_nation, ORACLE_REVENUE_NATION),
     "value_percentiles": QuerySpec(q_value_percentiles, ORACLE_PERCENTILES),
     "cube_lineitem": QuerySpec(q_cube_lineitem, ORACLE_CUBE),
     "lang_source_pivot": QuerySpec(q_lang_source_pivot, ORACLE_PIVOT),
@@ -311,6 +391,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "customers_without_orders": QuerySpec(q_customers_without_orders, ORACLE_ANTI),
     "user_segment_setops": QuerySpec(q_user_segment_setops, ORACLE_SETOPS),
     "user_running_value": QuerySpec(q_user_running_value, ORACLE_RUNNING),
+    "sliding_hour_avg": QuerySpec(q_sliding_hour_avg, ORACLE_SLIDING),
     "dup_clusters": QuerySpec(q_dup_clusters, ORACLE_DUP_CLUSTERS),
     "hll_distinct_tokens": QuerySpec(
         q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
