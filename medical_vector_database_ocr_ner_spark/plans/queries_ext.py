@@ -366,6 +366,26 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+# === multimodal (rows-only) =================================================
+
+def q_multimodal_image_features(spark, sf):
+    """Multimodal plumbing end-to-end: deterministic fake image payloads
+    (binary column + typed metadata) through the Arrow-batched decode/
+    feature mapInPandas stage, including a corrupt payload that must
+    quarantine into the error column rather than fail the task. Decode is
+    a deterministic stand-in (real image libs absent here); the Spark-side
+    schema/batching/quarantine is the real, tested surface."""
+    from ..operators.multimodal import fake_image_bytes, image_features
+
+    rows = [
+        (f"img{i}", "image", fake_image_bytes(32 + i, 16 + i)) for i in range(20)
+    ] + [("bad0", "image", b"\x00corrupt"), ("aud0", "audio", b"RIFFxxxx")]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary"
+    )
+    return image_features(media)
+
+
 # === sketches (rows-only) ===================================================
 
 def q_hll_distinct_tokens(spark, sf):
@@ -395,5 +415,9 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "dup_clusters": QuerySpec(q_dup_clusters, ORACLE_DUP_CLUSTERS),
     "hll_distinct_tokens": QuerySpec(
         q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
+    ),
+    "multimodal_image_features": QuerySpec(
+        q_multimodal_image_features, None,
+        "decode stand-in; Arrow plumbing unit-tested in test_operators",
     ),
 }

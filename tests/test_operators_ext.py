@@ -71,6 +71,9 @@ class TestAsofJoin:
         out = asof_join(left, right, on="user")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        # the whole operator costs ONE shuffle: the window partitioning on
+        # the join key (AQE may add AQEShuffleRead readers, not exchanges)
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
 
 
 class TestConnectedComponents:

@@ -58,9 +58,11 @@ def main() -> None:
         )
 
     failures = []
+    n_run = 0
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
@@ -104,7 +106,9 @@ def main() -> None:
         else:
             print(f"ok   {name}: {sn} rows hash={shash} ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(QUERIES) - len(set(failures))}/{len(QUERIES)} queries match")
+    skipped = len(QUERIES) - n_run
+    tail = f" ({skipped} not selected)" if skipped else ""
+    print(f"\n{n_run - len(set(failures))}/{n_run} queries match{tail}")
     sys.exit(1 if failures else 0)
 
 
