@@ -76,6 +76,90 @@ class TestAsofJoin:
         assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
 
 
+class TestAsofRandomized:
+    def test_matches_bruteforce_on_random_frames(self, spark):
+        """Seeded randomized cross-check: union-sentinel as-of ==
+        brute-force most-recent-at-or-before lookup, including keys with
+        no right rows and multiple probes between the same right rows."""
+        import random
+
+        from medical_vector_database_ocr_ner_spark.operators.asof import asof_join
+
+        rnd = random.Random(7)
+        for _ in range(3):
+            keys = [f"k{i}" for i in range(6)]
+            rights = {}
+            for k in keys[:4]:  # two keys get no right rows at all
+                for ts in rnd.sample(range(0, 1000), rnd.randint(1, 8)):
+                    rights[(k, ts)] = rnd.randint(0, 10**6)
+            lefts = [
+                (i, rnd.choice(keys), rnd.randint(-50, 1100))
+                for i in range(60)
+            ]
+
+            ldf = spark.createDataFrame(
+                [(i, k, datetime.fromtimestamp(1700000000 + t))
+                 for i, k, t in lefts],
+                "probe_id long, k string, ts timestamp",
+            )
+            rdf = spark.createDataFrame(
+                [(k, datetime.fromtimestamp(1700000000 + t), v)
+                 for (k, t), v in rights.items()],
+                "k string, ts timestamp, v long",
+            )
+            got = {
+                r["probe_id"]: r["asof_v"]
+                for r in asof_join(ldf, rdf, on="k", right_cols=["v"]).collect()
+            }
+            for i, k, t in lefts:
+                cands = [(ts, v) for (rk, ts), v in rights.items()
+                         if rk == k and ts <= t]
+                want = max(cands)[1] if cands else None
+                assert got[i] == want, (i, k, t, got[i], want)
+
+
+class TestConnectedComponentsRandomized:
+    def test_matches_union_find_on_random_graphs(self, spark):
+        """Seeded randomized cross-check: distributed min-label CC ==
+        driver-side union-find on the same edges."""
+        import random
+
+        from medical_vector_database_ocr_ner_spark.operators.components import (
+            connected_components,
+        )
+
+        rnd = random.Random(11)
+        for trial in range(3):
+            n = 30
+            edges = [
+                (rnd.randrange(n), rnd.randrange(n)) for _ in range(25 + trial * 10)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            touched = {x for e in edges for x in e}
+            want = {x: find(x) for x in touched}
+
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    spark.createDataFrame(edges, "src long, dst long")
+                ).collect()
+            }
+            assert got == want
+
+
 class TestConnectedComponents:
     def test_known_graph(self, spark):
         from medical_vector_database_ocr_ner_spark.operators.components import (

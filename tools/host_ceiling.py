@@ -1,0 +1,83 @@
+"""Hardware-ceiling control for the scaling evidence (companion to
+tools/scaling_bench.py).
+
+Runs the SAME per-document work as the Spark extraction DAG — the pure
+core: payload sniff → HTML/PDF text extraction → entity spans → content
+hash — as a plain ``multiprocessing.Pool`` with no Spark at all, at two
+pool sizes. Any efficiency loss here is the HOST (turbo-clock droop as
+more cores activate, shared memory bandwidth, co-tenant steal), not the
+framework: a process pool has no scheduler, no shuffle, no JVM.
+
+The framework-attributable scaling of the Spark job is therefore
+``spark_efficiency / control_efficiency`` measured back-to-back; on a
+real cluster N vs 4N executors are separate machines and the host term
+vanishes.
+
+Usage: python tools/host_ceiling.py [n_pages] [pairs like 4,16 8,32]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def _work(payload: bytes) -> int:
+    import hashlib
+
+    from medical_vector_database_ocr_ner_spark import core
+
+    kind = core.sniff_payload_kind(payload)
+    if kind == "html":
+        text = core.extract_main_content(payload)
+    elif kind == "pdf":
+        text = " ".join(p[0] for p in core.ocr_pdf_pages(payload))
+    else:
+        return 0
+    ents = core.extract_entities(text)
+    hashlib.sha256(payload).hexdigest()
+    return len(ents)
+
+
+def _payloads(n_pages: int) -> list[bytes]:
+    import pyarrow.parquet as pq
+
+    from medical_vector_database_ocr_ner_spark.sources.pages import pages_path
+
+    table = pq.read_table(pages_path(n_pages), columns=["html"])
+    return table.column("html").to_pylist()
+
+
+def run_level(payloads: list[bytes], procs: int, repeats: int = 3) -> dict:
+    best = None
+    for _ in range(repeats):
+        with mp.Pool(procs) as pool:
+            t0 = time.time()
+            pool.map(_work, payloads, chunksize=max(1, len(payloads) // (procs * 8)))
+            dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {"procs": procs, "sec": round(best, 3),
+            "docs_per_sec": round(len(payloads) / best, 1)}
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+    pairs = [tuple(map(int, p.split(","))) for p in (sys.argv[2:] or ["4,16"])]
+    payloads = _payloads(n_pages)
+
+    levels = sorted({c for p in pairs for c in p})
+    results = {c: run_level(payloads, c) for c in levels}
+    out = {"n_pages": n_pages, "levels": results, "pairs": {}}
+    for lo, hi in pairs:
+        eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+        out["pairs"][f"{lo}->{hi}"] = {"control_efficiency": round(eff, 3)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
