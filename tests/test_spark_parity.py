@@ -213,3 +213,32 @@ class TestPlanShape:
         emb = build_embeddings(documents_df)
         plan = search_topk(emb, "q", 10)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+    def test_semantic_search_single_extraction_stage(self, spark, sf01_dir):
+        """Regression guard for the double-extraction bug: the end-to-end
+        search plan must contain EXACTLY ONE MapInPandas extraction stage
+        (hydration columns carried through the embedding build, never
+        joined back against the unmaterialized extraction plan).
+
+        Uses the sf0.01 pages table: the sf0.001 plan is identical to the
+        session-cached documents_df fixture subtree, and the cache manager
+        would substitute it with InMemoryTableScan (count 0)."""
+        from medical_vector_database_ocr_ner_spark.plans.queries import QUERIES
+
+        df = QUERIES["semantic_search"].fn(spark, sf01_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1, plan[:1500]
+
+    def test_q5_join_broadcasts_dimensions(self, spark, sf001_dir):
+        """The 6-table join must broadcast every dimension: exactly one
+        shuffled join pair (lineitem⋈orders) plus the final aggregation
+        exchange; nation/region/customer/supplier never shuffle the fact."""
+        from medical_vector_database_ocr_ner_spark.plans.queries import QUERIES
+
+        df = QUERIES["revenue_by_nation"].fn(spark, sf001_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # all four hinted dims broadcast; at sf0.001 orders also falls
+        # under the auto threshold (a 5th broadcast) — at scale AQE keeps
+        # lineitem⋈orders shuffled. Never a nested-loop/cartesian plan.
+        assert plan.count("BroadcastHashJoin") >= 4, plan[:1500]
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
