@@ -77,6 +77,29 @@ def main() -> None:
     run_suite(record=False)
     timings, total, docs_per_sec = run_suite(record=True)
 
+    # sustained throughput: the sf0.1 pages table (20k rows) finishes in ~3s,
+    # so fixed stage cost (scan warmup, shuffle setup) is a visible share and
+    # docs_per_sec under-reads the plan. A 10× input amortizes it — this is
+    # the number that extrapolates to a cluster (BENCH.md scaling section).
+    sustained = None
+    n_sustained = int(os.environ.get("SPARK_GRAFT_SUSTAINED_PAGES", "200000"))
+    if n_sustained > 0:
+        from medical_vector_database_ocr_ner_spark.operators.extraction import (
+            extract_documents,
+        )
+        from medical_vector_database_ocr_ner_spark.sources.pages import pages_path
+
+        big = spark.read.parquet(pages_path(n_sustained))
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        extract_documents(big, num_partitions=cpus * 8).count()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            extract_documents(big, num_partitions=cpus * 8).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        sustained = round(n_sustained / best, 1)
+
     out = {
         "metric": "headline suite wall time (sec); docs_per_sec = extraction throughput",
         "value": round(total, 3),
@@ -85,6 +108,8 @@ def main() -> None:
         "sf": sf,
         "docs_per_sec": docs_per_sec,
         "n_pages": n_pages,
+        "sustained_docs_per_sec": sustained,
+        "sustained_pages": n_sustained,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     print(json.dumps(out))

@@ -1,6 +1,7 @@
 """Unit tests for the second-wave operators: as-of join (union-sentinel),
 connected components (min-label propagation), HLL sketch tolerance."""
 
+import os
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -284,3 +285,61 @@ class TestRegistryExt:
             df = spec.fn(spark, sf001_dir)
             assert df.columns, name
             df.limit(1).collect()
+
+
+class TestExportSinks:
+    def test_json_csv_roundtrip(self, spark, documents_df, tmp_path_factory):
+        """S10 export formats: documents → json + csv sinks and back,
+        row-count and key-column preserving (csv gets the flat columns;
+        nested entity structs ride through json)."""
+        base = tmp_path_factory.mktemp("exports")
+        flat = documents_df.select("url", "status", "entity_count", "content_hash")
+
+        flat.write.mode("overwrite").json(str(base / "docs_json"))
+        flat.write.mode("overwrite").option("header", True).csv(str(base / "docs_csv"))
+
+        n = flat.count()
+        jback = spark.read.json(str(base / "docs_json"))
+        cback = spark.read.option("header", True).csv(str(base / "docs_csv"))
+        assert jback.count() == n and cback.count() == n
+        assert set(jback.columns) == set(flat.columns)
+        got = {r["url"]: r["content_hash"] for r in jback.collect()}
+        want = {r["url"]: r["content_hash"] for r in flat.collect()}
+        assert got == want
+
+    def test_nested_entities_survive_json(self, spark, documents_df, tmp_path_factory):
+        base = tmp_path_factory.mktemp("exports_nested")
+        sel = documents_df.select("url", "entities").where(F.col("entity_count") > 0)
+        sel.write.mode("overwrite").json(str(base / "ents"))
+        back = spark.read.json(str(base / "ents"))
+        row = back.where(F.size("entities") > 0).first()
+        e = row["entities"][0]
+        assert e["text"] and e["entity_type"] and e["end"] > e["start"]
+
+
+class TestCliEntry:
+    def test_run_extraction_cli_and_resume(self, tmp_path_factory):
+        """scripts/run_extraction.py end-to-end in a subprocess (the
+        spark-submit analog), then a second run that must skip every
+        committed bucket via the lineage manifest."""
+        import re
+        import subprocess
+        import sys
+
+        out_dir = str(tmp_path_factory.mktemp("cli") / "out")
+        env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+        cmd = [sys.executable, "scripts/run_extraction.py", "--synthetic", "200",
+               "--output", out_dir, "--buckets", "8"]
+        r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                            cwd=os.path.dirname(os.path.dirname(
+                                os.path.abspath(__file__))))
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        m1 = re.search(r"processed=(\d+) skipped=(\d+)", r1.stdout)
+        assert m1 and m1.group(1) == "8" and m1.group(2) == "0", r1.stdout[-800:]
+
+        r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                            cwd=os.path.dirname(os.path.dirname(
+                                os.path.abspath(__file__))))
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        m2 = re.search(r"processed=(\d+) skipped=(\d+)", r2.stdout)
+        assert m2 and m2.group(1) == "0" and m2.group(2) == "8", r2.stdout[-800:]
