@@ -43,7 +43,9 @@ def asof_join(
     right payload columns.
 
     Ties: a right row at exactly ``left_ts`` IS visible (<= semantics);
-    right rows sort before left probes at equal timestamps.
+    right rows sort before left probes at equal timestamps. Among right
+    rows sharing the same (key, timestamp), the greatest payload tuple
+    wins — deterministically, across runs and partitionings.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
@@ -68,9 +70,13 @@ def asof_join(
     )
     unioned = r.unionByName(l)
 
+    # _payload as the final sort key is a deterministic tie-break among
+    # right rows sharing (key, ts): the greatest payload tuple wins, every
+    # run, on every partitioning. (_side still decides right-vs-probe at
+    # equal ts first, so probes never sort before the rows they must see.)
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

@@ -1133,10 +1133,19 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 def _load_ext() -> None:
-    # bottom-of-module import: queries_ext needs QuerySpec/_t from this file
-    from .queries_ext import EXT_QUERIES
+    """Bottom-of-module import: queries_ext needs QuerySpec/_t from this
+    file. Import-order safe both ways: if queries_ext is the module being
+    imported first (it is mid-initialization in sys.modules without
+    EXT_QUERIES yet), skip — queries_ext registers itself into QUERIES at
+    its own bottom."""
+    import sys
 
-    QUERIES.update(EXT_QUERIES)
+    mod = sys.modules.get(f"{__package__}.queries_ext")
+    if mod is not None and not hasattr(mod, "EXT_QUERIES"):
+        return
+    from . import queries_ext
+
+    QUERIES.update(queries_ext.EXT_QUERIES)
 
 
 _load_ext()

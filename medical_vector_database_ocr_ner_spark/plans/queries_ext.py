@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .queries import ORACLE_MINHASH_SIG, QuerySpec, _t, q_minhash_signatures
+from .queries import (
+    ORACLE_MINHASH_SIG,
+    QUERIES,
+    QuerySpec,
+    _t,
+    q_minhash_signatures,
+)
 
 LANGS = ["de", "en", "es", "fr", "zh"]
 
@@ -421,3 +427,8 @@ EXT_QUERIES: dict[str, QuerySpec] = {
         "decode stand-in; Arrow plumbing unit-tested in test_operators",
     ),
 }
+
+# self-register: when this module is imported FIRST, queries.py's
+# _load_ext() skips (this module was mid-initialization); registering here
+# covers that path, and re-updating is idempotent on the other path
+QUERIES.update(EXT_QUERIES)

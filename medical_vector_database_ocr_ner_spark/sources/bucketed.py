@@ -39,18 +39,20 @@ def write_bucketed(
     (plan shows the scan already satisfying the ordering), so the join is
     a pure linear merge per bucket pair.
 
-    Idempotent across sessions: with the default in-memory catalog a new
-    session forgets the table but its warehouse directory survives, which
-    would fail the write with LOCATION_ALREADY_EXISTS — so drop the table
-    AND clear any orphaned local location first.
+    Overwrite is idempotent across sessions: with the default in-memory
+    catalog a new session forgets the table but its warehouse directory
+    survives, which would fail the write with LOCATION_ALREADY_EXISTS — so
+    on overwrite, drop the table AND clear any orphaned local location
+    first. Other modes (append) never touch existing data.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:"):]
-    if warehouse.startswith("/"):
-        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        if warehouse.startswith("/"):
+            shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
     (
         df.write.format("parquet")
         .mode(mode)

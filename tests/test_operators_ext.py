@@ -56,6 +56,27 @@ class TestAsofJoin:
         out = asof_join(left, right, on="user", right_cols=["err"])
         assert out.collect()[0]["asof_err"] is None
 
+    def test_right_rows_tied_on_ts_resolve_deterministically(self, spark):
+        """Two right rows sharing (key, ts): the greatest payload tuple
+        wins — the documented deterministic tie-break."""
+        from medical_vector_database_ocr_ner_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u", _ts("2024-01-01 13:00:00"))],
+            "click_id long, user string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u", _ts("2024-01-01 12:00:00"), 5),
+                ("u", _ts("2024-01-01 12:00:00"), 9),
+                ("u", _ts("2024-01-01 12:00:00"), 2),
+            ],
+            "user string, ts timestamp, err long",
+        )
+        for _ in range(3):
+            out = asof_join(left, right, on="user", right_cols=["err"])
+            assert out.collect()[0]["asof_err"] == 9
+
     def test_no_inequality_join_in_plan(self, spark):
         """Plan shape: exactly one exchange (on the key), no BroadcastNested
         LoopJoin / CartesianProduct — the whole point of the pattern."""
@@ -222,13 +243,15 @@ class TestBucketedJoin:
         write_bucketed(li, "t_lineitem_b", "o_orderkey", 8)
 
         joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
-        # disable broadcast so the join exercises the bucketed SMJ path
+        # disable broadcast so the join exercises the bucketed SMJ path;
+        # restore the SAVED value (session fixture is shared across tests)
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             plan = joined._jdf.queryExecution().executedPlan().toString()
             n = joined.count()
         finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
         assert "Exchange hashpartitioning" not in plan, plan[:2000]
         expected = orders.join(li, "o_orderkey").count()
@@ -343,3 +366,27 @@ class TestCliEntry:
         assert r2.returncode == 0, r2.stderr[-2000:]
         m2 = re.search(r"processed=(\d+) skipped=(\d+)", r2.stdout)
         assert m2 and m2.group(1) == "0" and m2.group(2) == "8", r2.stdout[-800:]
+
+
+class TestImportOrder:
+    def test_queries_ext_importable_first(self):
+        """Importing queries_ext before queries must not crash (the
+        circular-import guard) and must still register every EXT query."""
+        import subprocess
+        import sys
+
+        code = (
+            "from medical_vector_database_ocr_ner_spark.plans.queries_ext "
+            "import EXT_QUERIES\n"
+            "from medical_vector_database_ocr_ner_spark.plans.queries "
+            "import QUERIES\n"
+            "assert set(EXT_QUERIES) <= set(QUERIES), "
+            "sorted(set(EXT_QUERIES) - set(QUERIES))\n"
+            "print('ok', len(QUERIES))\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert r.stdout.startswith("ok")

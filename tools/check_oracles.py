@@ -57,6 +57,11 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        sys.exit(1)
+
     failures = []
     n_run = 0
     for name, spec in QUERIES.items():

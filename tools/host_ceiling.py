@@ -57,6 +57,10 @@ def run_level(payloads: list[bytes], procs: int, repeats: int = 3) -> dict:
     best = None
     for _ in range(repeats):
         with mp.Pool(procs) as pool:
+            # untimed warm map: per-worker package import must not land in
+            # the timed region (it is a larger fraction of the short
+            # high-proc runs, which would understate the ceiling)
+            pool.map(_work, payloads[: procs * 4])
             t0 = time.time()
             pool.map(_work, payloads, chunksize=max(1, len(payloads) // (procs * 8)))
             dt = time.time() - t0
