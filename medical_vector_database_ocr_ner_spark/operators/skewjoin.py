@@ -1,0 +1,57 @@
+"""Explicit salted join for pathologically skewed keys.
+
+AQE's skew-join splitting handles moderate skew in sort-merge joins, but
+it only splits partitions AFTER a full shuffle of the skewed side, and it
+cannot help when one key holds a double-digit percentage of all rows (a
+viral url's host, a null-ish default key): every row of that key still
+lands in memory of the tasks that split it. Salting fixes the layout
+before the shuffle:
+
+- big side: add ``salt = pmod(xxhash64(<row-unique cols>), R)`` — the hot
+  key's rows spread over R partitions;
+- small side: replicate each row R times (``explode(sequence(0, R-1))``);
+- equi-join on ``(key, salt)``.
+
+Cost: the small side shuffles R× its size (it is small — that is the
+point); the big side shuffles exactly once with no hot partition. Result
+is row-identical to the plain join (asserted in
+tests/test_operators_ext.py against a skew-free reference join).
+
+This is the join-side sibling of the extraction DAG's salted
+``repartition(pmod(xxhash64(url), P))`` (operators/extraction.py) —
+same principle: randomize placement BEFORE bytes move.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+def salted_join(
+    big: "DataFrame",
+    small: "DataFrame",
+    on: str,
+    n_salts: int = 16,
+    salt_cols: list[str] | None = None,
+    how: str = "inner",
+) -> "DataFrame":
+    """Join a skew-keyed big side against a small side with R-way salting.
+
+    salt_cols: big-side columns whose hash spreads the hot key (default:
+    every big-side column — any row-distinguishing subset works; using
+    only the join key would defeat the salt).
+    """
+    salt_src = [F.col(c) for c in (salt_cols or big.columns)]
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int")
+    )
+    small_replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = big_salted.join(small_replicated, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -390,3 +390,54 @@ class TestImportOrder:
         )
         assert r.returncode == 0, r.stderr[-1500:]
         assert r.stdout.startswith("ok")
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join_under_extreme_skew(self, spark):
+        """90% of big-side rows share one key; the salted join must return
+        row-identical results to the plain join while spreading the hot
+        key across partitions."""
+        from medical_vector_database_ocr_ner_spark.operators.skewjoin import (
+            salted_join,
+        )
+
+        big = spark.createDataFrame(
+            [(i, "hot" if i % 10 != 0 else f"k{i}", i * 1.5) for i in range(2000)],
+            "row_id long, key string, v double",
+        )
+        small = spark.createDataFrame(
+            [("hot", "H"), ("k0", "A"), ("k10", "B"), ("k30", "C")],
+            "key string, label string",
+        )
+
+        got = salted_join(big, small, on="key", n_salts=8)
+        want = big.join(small, "key")
+        assert got.count() == want.count()
+        gset = {(r["row_id"], r["label"]) for r in got.collect()}
+        wset = {(r["row_id"], r["label"]) for r in want.collect()}
+        assert gset == wset
+
+        # hot-key rows really are spread: >1 distinct salt partition
+        from pyspark.sql import functions as F2
+        n_salts_used = (
+            big.withColumn(
+                "_salt",
+                F2.pmod(F2.xxhash64(*[F2.col(c) for c in big.columns]), F2.lit(8)),
+            )
+            .where(F2.col("key") == "hot")
+            .select("_salt").distinct().count()
+        )
+        assert n_salts_used == 8
+
+    def test_left_join_preserves_unmatched(self, spark):
+        from medical_vector_database_ocr_ner_spark.operators.skewjoin import (
+            salted_join,
+        )
+
+        big = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "zzz")], "row_id long, key string"
+        )
+        small = spark.createDataFrame([("a", 10), ("b", 20)], "key string, x long")
+        got = {r["row_id"]: r["x"] for r in
+               salted_join(big, small, on="key", n_salts=4, how="left").collect()}
+        assert got == {1: 10, 2: 20, 3: None}
