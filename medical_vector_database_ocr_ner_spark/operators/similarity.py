@@ -41,6 +41,50 @@ def brute_force_topk(
     )
 
 
+def batch_topk(
+    emb: "DataFrame", queries: "DataFrame", k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    query_id_col: str = "query_id", query_vec_col: str = "qvec",
+) -> "DataFrame":
+    """Top-k for a BATCH of query vectors (SURVEY §2.3 J5 batch variant):
+    broadcast the (small) query set, score every embeddings partition
+    JVM-side against all queries at once, then per-query window rank.
+
+    One pass over the embeddings table regardless of query count — the
+    shape that amortizes scan cost when serving many searches; the only
+    shuffle is the rank's partitioning on query_id (tiny: n_queries × k
+    candidates after per-partition pre-ranking would be the next step at
+    10^12 rows; at current scale the window input is fine).
+
+    Ranking uses the similarity rounded to 6 decimals with an id
+    tie-break so results are deterministic and engine-portable."""
+    from pyspark.sql.window import Window
+
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), F.col(query_vec_col),
+                    lambda a, b: a.cast("double") * b.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("similarity"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 class IvfIndex:
     """Inverted-file index: n_centroids deterministic representatives (the
     first n vectors by id — deterministic without a training job; plug a

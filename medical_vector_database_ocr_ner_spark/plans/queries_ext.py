@@ -372,6 +372,42 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def q_ann_batch_topk(spark, sf):
+    """Batched ANN: top-5 neighbors for a batch of 3 query vectors in ONE
+    pass over the embeddings table (broadcast queries → JVM dot products →
+    per-query window rank). The serving shape: scan cost amortizes over
+    the whole query batch."""
+    from ..operators.similarity import batch_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = batch_topk(emb, queries, k=5)
+    return res.select(
+        "query_id", "vec_id", F.round("similarity", 4).alias("similarity")
+    )
+
+
+ORACLE_ANN_BATCH = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), dots AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM dots
+)
+SELECT query_id, vec_id, round(sim, 4) AS similarity
+FROM ranked WHERE rk <= 5
+"""
+
+
 # === multimodal (rows-only) =================================================
 
 def q_multimodal_image_features(spark, sf):
@@ -418,6 +454,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "user_segment_setops": QuerySpec(q_user_segment_setops, ORACLE_SETOPS),
     "user_running_value": QuerySpec(q_user_running_value, ORACLE_RUNNING),
     "sliding_hour_avg": QuerySpec(q_sliding_hour_avg, ORACLE_SLIDING),
+    "ann_batch_topk": QuerySpec(q_ann_batch_topk, ORACLE_ANN_BATCH),
     "dup_clusters": QuerySpec(q_dup_clusters, ORACLE_DUP_CLUSTERS),
     "hll_distinct_tokens": QuerySpec(
         q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
