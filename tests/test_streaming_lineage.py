@@ -225,3 +225,57 @@ class TestStreamingDedup:
         res = spark.read.parquet(out)
         hashes = [r["content_hash"] for r in res.collect()]
         assert len(hashes) == 3 and len(set(hashes)) == 3
+
+
+class TestStatefulSessionization:
+    def test_closed_sessions_and_checkpoint_recovery(self, spark, tmpdir_clean):
+        """applyInPandasWithState sessionization: drain 1 emits exactly the
+        sessions already closed by a later event; drain 2 (new files, same
+        checkpoint) closes the previously-open sessions using RECOVERED
+        state — the cross-restart statefulness the operator exists for."""
+        from datetime import datetime, timedelta
+
+        from medical_vector_database_ocr_ner_spark.streaming.sessions import (
+            run_sessionize,
+        )
+
+        src = os.path.join(tmpdir_clean, "events_src")
+        out = os.path.join(tmpdir_clean, "sessions")
+        ckpt = os.path.join(tmpdir_clean, "ckpt")
+        base = datetime(2024, 1, 1, 9, 0, 0)
+
+        def ev(eid, user, minutes, value):
+            return (eid, base + timedelta(minutes=minutes), user, "click",
+                    value, "{}")
+
+        schema = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        # user 1: session A (0,5,10min) then >30min gap → session B (50min)
+        # user 2: one session only (0,3min) — must stay OPEN after drain 1
+        batch1 = [ev(1, 1, 0, 1.0), ev(2, 1, 5, 2.0), ev(3, 1, 10, 3.0),
+                  ev(4, 1, 50, 4.0), ev(5, 2, 0, 5.0), ev(6, 2, 3, 6.0)]
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+            "overwrite").parquet(src)
+
+        q = run_sessionize(spark, src, ckpt, out)
+        q.awaitTermination()
+        got1 = {(r["user_id"], r["n_events"], r["sum_value"])
+                for r in spark.read.parquet(out).collect()}
+        assert got1 == {(1, 3, 6.0)}  # only user 1's session A closed
+
+        # drain 2: a later event for each user closes the open sessions
+        batch2 = [ev(7, 1, 100, 7.0), ev(8, 2, 100, 8.0)]
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        q2 = run_sessionize(spark, src, ckpt, out)
+        q2.awaitTermination()
+        got2 = {(r["user_id"], r["n_events"], r["sum_value"])
+                for r in spark.read.parquet(out).collect()}
+        assert got2 == {(1, 3, 6.0), (1, 1, 4.0), (2, 2, 11.0)}
+
+        # session boundaries are the event times, not clock grid
+        rows = {(r["user_id"], r["n_events"]):
+                (r["session_start"], r["session_end"])
+                for r in spark.read.parquet(out).collect()}
+        s, e = rows[(1, 3)]
+        assert (e - s).total_seconds() == 600
