@@ -441,3 +441,45 @@ class TestSaltedJoin:
         got = {r["row_id"]: r["x"] for r in
                salted_join(big, small, on="key", n_salts=4, how="left").collect()}
         assert got == {1: 10, 2: 20, 3: None}
+
+
+class TestMergeUpsert:
+    def test_upsert_rewrites_only_affected_buckets(self, spark, tmp_path_factory):
+        """MERGE semantics over the bucketed parquet layout: updated keys
+        replaced, new keys inserted, and buckets without affected keys are
+        not touched on disk (mtime-proven pruning)."""
+        from medical_vector_database_ocr_ner_spark.sources.merge import (
+            merge_upsert,
+            read_merge_table,
+            write_merge_table,
+        )
+
+        path = str(tmp_path_factory.mktemp("merge") / "tbl")
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1000)], "key long, val string"
+        )
+        write_merge_table(base, path, "key", n_buckets=8)
+
+        before = {
+            d: os.path.getmtime(os.path.join(path, d))
+            for d in os.listdir(path) if d.startswith("bucket=")
+        }
+
+        updates = spark.createDataFrame(
+            [(3, "NEW3"), (700, "NEW700"), (1500, "INS1500")],
+            "key long, val string",
+        )
+        res = merge_upsert(spark, path, updates, "key", n_buckets=8)
+        assert res["n_upserts"] == 3 and 1 <= len(res["touched_buckets"]) <= 3
+
+        after = read_merge_table(spark, path)
+        assert after.count() == 1001  # 1000 - 0 deleted + 1 new key
+        got = {r["key"]: r["val"] for r in after.where(
+            F.col("key").isin(3, 700, 1500, 5)).collect()}
+        assert got == {3: "NEW3", 700: "NEW700", 1500: "INS1500", 5: "v5"}
+
+        untouched = [d for d in before
+                     if int(d.split("=")[1]) not in res["touched_buckets"]]
+        assert untouched, "some buckets must be untouched"
+        for d in untouched:
+            assert os.path.getmtime(os.path.join(path, d)) == before[d], d
