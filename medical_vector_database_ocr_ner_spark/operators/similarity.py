@@ -86,19 +86,25 @@ def batch_topk(
 
 
 class IvfIndex:
-    """Inverted-file index: n_centroids deterministic representatives (the
-    first n vectors by id — deterministic without a training job; plug a
-    k-means DataFrame in for production), every vector assigned to its
-    best centroid once (one broadcast join + argmax), stored partitioned by
-    centroid. Queries score only nprobe centroid partitions.
+    """Inverted-file index: deterministic seed centroids (first n vectors
+    by id), optionally refined by ``train_iters`` rounds of DataFrame
+    Lloyd's k-means; every vector assigned to its best centroid once (one
+    argmax column expression), stored partitioned by centroid. Queries
+    score only nprobe centroid partitions.
 
-    At 10^12 vectors: assignment is a map-side broadcast pass; the search
-    reads nprobe/n_centroids of the data — partition pruning does the rest
-    when the assignment table is written partitioned by ``centroid_id``."""
+    Training is fully distributed and deterministic: each round is one
+    assignment pass (pure column expression — no Python) plus one
+    per-(centroid, dimension) mean aggregation; only the k×dim centroid
+    matrix ever reaches the driver.
+
+    At 10^12 vectors: assignment is a map-side pass; the search reads
+    nprobe/n_centroids of the data — partition pruning does the rest when
+    the assignment table is written partitioned by ``centroid_id``."""
 
     def __init__(
         self, emb: "DataFrame", n_centroids: int = 16,
         vec_col: str = "embedding", id_col: str = "vec_id",
+        train_iters: int = 0,
     ) -> None:
         self.vec_col, self.id_col = vec_col, id_col
         self.n_centroids = n_centroids
@@ -109,7 +115,35 @@ class IvfIndex:
                 .select(id_col, vec_col).collect()
             )
         ]
+        for _ in range(train_iters):
+            self.centroids = self._lloyd_round(emb)
         self.assigned = self._assign(emb).cache()
+
+    def _lloyd_round(self, emb: "DataFrame") -> list[tuple[int, list[float]]]:
+        """One Lloyd's iteration: assign every vector to its best current
+        centroid, then recompute each centroid as the per-dimension mean
+        of its members (empty clusters keep their old centroid)."""
+        assigned = self._assign(emb)
+        means = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(F.col(self.vec_col)).alias("dim", "x"),
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["dim"])] = float(r["m"])
+        out = []
+        for cid, old in self.centroids:
+            dims = by_cid.get(cid)
+            if dims:
+                out.append((cid, [dims[i] for i in range(len(old))]))
+            else:
+                out.append((cid, old))
+        return out
 
     def _best_centroid(self, vec_col) -> "Column":
         """argmax over centroid dots as a fold — pure column expression."""

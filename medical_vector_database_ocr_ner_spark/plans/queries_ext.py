@@ -314,6 +314,77 @@ FROM events
 """
 
 
+def q_doc_length_histogram(spark, sf):
+    """Equi-width histogram via width_bucket — the one-pass distributed
+    histogram shape (no sort, one shuffle on the bucket id)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(
+            F.width_bucket(F.col("n_chars"), F.lit(0), F.lit(2000), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# DuckDB has no width_bucket scalar; the arithmetic emulation is exact
+# for n_chars >= 0: bucket i covers [200*(i-1), 200*i), overflow bucket 11
+ORACLE_LENGTH_HIST = """
+SELECT CASE WHEN n_chars >= 2000 THEN CAST(11 AS BIGINT)
+            ELSE CAST(n_chars // 200 + 1 AS BIGINT) END AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_priority_revenue_share(spark, sf):
+    """Share-of-total via window over an aggregated frame: revenue per
+    order priority and its fraction of the grand total (the window reads
+    the 5-row aggregate, not the fact table)."""
+    orders = _t(spark, sf, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "o_orderpriority",
+        F.round("revenue", 4).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+ORACLE_REVENUE_SHARE = """
+SELECT o_orderpriority,
+       round(revenue, 4) AS revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM (SELECT o_orderpriority, sum(o_totalprice) AS revenue
+      FROM orders GROUP BY o_orderpriority)
+"""
+
+
+def q_edit_distance_pairs(spark, sf):
+    """Levenshtein distance over all distinct source-name pairs (C-family
+    string function breadth; the pair space is the tiny distinct set, the
+    fact table is never self-joined)."""
+    src = _t(spark, sf, "documents").select("source").distinct()
+    a, b = src.alias("a"), src.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source"))
+    return pairs.select(
+        F.col("a.source").alias("s1"),
+        F.col("b.source").alias("s2"),
+        F.levenshtein(F.col("a.source"), F.col("b.source")).alias("dist"),
+    )
+
+
+ORACLE_EDIT_DISTANCE = """
+WITH s AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS s1, b.source AS s2, levenshtein(a.source, b.source) AS dist
+FROM s a JOIN s b ON a.source < b.source
+"""
+
+
 # === near-dup clusters (connected components) ===============================
 
 def q_dup_clusters(spark, sf):
@@ -455,6 +526,11 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "user_running_value": QuerySpec(q_user_running_value, ORACLE_RUNNING),
     "sliding_hour_avg": QuerySpec(q_sliding_hour_avg, ORACLE_SLIDING),
     "ann_batch_topk": QuerySpec(q_ann_batch_topk, ORACLE_ANN_BATCH),
+    "doc_length_histogram": QuerySpec(q_doc_length_histogram, ORACLE_LENGTH_HIST),
+    "priority_revenue_share": QuerySpec(
+        q_priority_revenue_share, ORACLE_REVENUE_SHARE
+    ),
+    "edit_distance_pairs": QuerySpec(q_edit_distance_pairs, ORACLE_EDIT_DISTANCE),
     "dup_clusters": QuerySpec(q_dup_clusters, ORACLE_DUP_CLUSTERS),
     "hll_distinct_tokens": QuerySpec(
         q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
