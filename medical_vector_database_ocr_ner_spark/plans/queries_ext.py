@@ -479,6 +479,40 @@ FROM ranked WHERE rk <= 5
 """
 
 
+def q_train_val_test_split(spark, sf):
+    """Deterministic dataset splitting for training pipelines: split
+    assignment is a pure function of the content hash (NOT random) —
+    reproducible across runs, engines, and re-shards, and a document
+    always lands in the same split even if the corpus is re-ingested.
+    80/10/10 by hash bucket; output: per (lang, split) counts."""
+    docs = _t(spark, sf, "documents")
+    bucket = F.pmod(_h60_ext(F.col("text")), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# portable 60-bit hash, same construction as plans/queries.py::_h60
+def _h60_ext(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_H60_TEXT_SQL = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+ORACLE_SPLIT = f"""
+SELECT lang,
+       CASE WHEN {_H60_TEXT_SQL} % 100 < 80 THEN 'train'
+            WHEN {_H60_TEXT_SQL} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
 # === multimodal (rows-only) =================================================
 
 def q_multimodal_image_features(spark, sf):
@@ -531,6 +565,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
         q_priority_revenue_share, ORACLE_REVENUE_SHARE
     ),
     "edit_distance_pairs": QuerySpec(q_edit_distance_pairs, ORACLE_EDIT_DISTANCE),
+    "train_val_test_split": QuerySpec(q_train_val_test_split, ORACLE_SPLIT),
     "dup_clusters": QuerySpec(q_dup_clusters, ORACLE_DUP_CLUSTERS),
     "hll_distinct_tokens": QuerySpec(
         q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
