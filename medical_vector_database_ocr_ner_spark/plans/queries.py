@@ -633,24 +633,25 @@ FROM ({_TOKS_SQL}) GROUP BY doc_id
 
 
 def q_minhash_dup_counts(spark, sf):
-    """MinHash-LSH candidate generation: one band of 4 rows — docs whose full
-    signature collides are near-dup candidates; per-doc candidate count.
-    (Band-bucket self-join = the at-scale shape: join on the band hash, never
-    all-pairs.)"""
+    """MinHash-LSH candidate generation: one band of 4 rows — docs whose
+    full signature collides are near-dup candidates; per doc, the count of
+    HIGHER-id candidates (the pair-enumeration convention).
+
+    Full-signature collision is an equivalence relation, so the count is
+    pure bucket arithmetic: for a doc at ascending position p in its
+    c-doc signature bucket, #larger-id candidates = c - p. Two window
+    functions over ONE shuffle on the signature — materializing the pair
+    join this replaces is quadratic per bucket (a 2,270-doc bucket at
+    sf0.1 → 2.6M pairs; a viral duplicate at corpus scale → 10^12). The
+    DuckDB oracle still enumerates pairs — same spec, two encodings."""
     sig = q_minhash_signatures(spark, sf)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.m0") == F.col("b.m0"))
-        & (F.col("a.m1") == F.col("b.m1"))
-        & (F.col("a.m2") == F.col("b.m2"))
-        & (F.col("a.m3") == F.col("b.m3"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
+    w = Window.partitionBy("m0", "m1", "m2", "m3")
+    wo = w.orderBy("doc_id")
     return (
-        pairs.groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.count("*").alias("n_candidates"))
+        sig.withColumn("c", F.count("*").over(w))
+        .withColumn("p", F.row_number().over(wo))
+        .where(F.col("c") - F.col("p") >= 1)
+        .select("doc_id", (F.col("c") - F.col("p")).alias("n_candidates"))
     )
 
 
