@@ -113,6 +113,23 @@ def search_topk(
     return topk
 
 
+def search_by_entities(
+    embeddings: "DataFrame",
+    entity_texts: list[str],
+    k: int = 10,
+    documents: "DataFrame | None" = None,
+    extra_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Entity-driven search (reference document_service.py:181-206,
+    vector_service.py:166-181): the query text is the space-joined entity
+    texts, then the exact §3.2 search plan. Kept as a named operator so
+    the reference's API surface maps one-to-one."""
+    return search_topk(
+        embeddings, " ".join(entity_texts), k, documents=documents,
+        extra_cols=extra_cols,
+    )
+
+
 def entity_type_histogram(documents: "DataFrame") -> "DataFrame":
     """A4: corpus entity-type histogram over the nested spans."""
     return (

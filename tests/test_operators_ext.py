@@ -509,3 +509,23 @@ class TestIvfTraining:
 
         rec = sum(t1.recall_at_k(emb, q, k=10, nprobe=2) for q in qs) / len(qs)
         assert rec >= 0.4, rec
+
+
+class TestSearchByEntities:
+    def test_equals_search_with_joined_text(self, spark, documents_df):
+        """search_by_entities == search_topk on the space-joined entity
+        texts (reference vector_service.py:166-181 semantics)."""
+        from medical_vector_database_ocr_ner_spark.plans.pipeline import (
+            build_embeddings,
+            search_by_entities,
+            search_topk,
+        )
+
+        emb = build_embeddings(documents_df)
+        ents = ["Metformin", "diabetes"]
+        a = search_by_entities(emb, ents, k=5).collect()
+        b = search_topk(emb, "Metformin diabetes", k=5).collect()
+        assert [(r["vec_id"], r["similarity"]) for r in a] == [
+            (r["vec_id"], r["similarity"]) for r in b
+        ]
+        assert len(a) == 5
