@@ -66,6 +66,40 @@ def read_merge_table(spark: "SparkSession", path: str) -> "DataFrame":
     ).drop("bucket")
 
 
+def merge_delete(
+    spark: "SparkSession",
+    path: str,
+    keys: "DataFrame",
+    key: str,
+    n_buckets: int = 16,
+) -> dict:
+    """DELETE FROM table WHERE key IN (keys) — the S6 analog
+    (reference vector_service.py:254 delete-by-id), bucket-pruned like
+    merge_upsert: only buckets containing a deleted key are rewritten.
+
+    Returns {"touched_buckets": [...], "n_delete_keys": int}.
+    """
+    kdf = keys.select(key).withColumn(
+        "_b", _bucket_col(F.col(key), n_buckets)
+    ).cache()
+    try:
+        touched = sorted(r["_b"] for r in kdf.select("_b").distinct().collect())
+        n_keys = kdf.count()
+        for b in touched:
+            bucket_dir = os.path.join(path, f"{BUCKET_PREFIX}{b}")
+            if not os.path.isdir(bucket_dir):
+                continue
+            old = spark.read.parquet(bucket_dir)
+            kept = old.join(kdf.where(F.col("_b") == b).drop("_b"), key, "left_anti")
+            tmp_dir = os.path.join(path, f".tmp-{BUCKET_PREFIX}{b}-{uuid.uuid4().hex}")
+            kept.write.mode("overwrite").parquet(tmp_dir)
+            shutil.rmtree(bucket_dir)
+            os.rename(tmp_dir, bucket_dir)
+    finally:
+        kdf.unpersist()
+    return {"touched_buckets": touched, "n_delete_keys": n_keys}
+
+
 def merge_upsert(
     spark: "SparkSession",
     path: str,

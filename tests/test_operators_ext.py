@@ -484,6 +484,37 @@ class TestMergeUpsert:
         for d in untouched:
             assert os.path.getmtime(os.path.join(path, d)) == before[d], d
 
+    def test_delete_removes_keys_bucket_pruned(self, spark, tmp_path_factory):
+        from medical_vector_database_ocr_ner_spark.sources.merge import (
+            merge_delete,
+            read_merge_table,
+            write_merge_table,
+        )
+
+        path = str(tmp_path_factory.mktemp("merge_del") / "tbl")
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(500)], "key long, val string"
+        )
+        write_merge_table(base, path, "key", n_buckets=8)
+        before = {
+            d: os.path.getmtime(os.path.join(path, d))
+            for d in os.listdir(path) if d.startswith("bucket=")
+        }
+
+        keys = spark.createDataFrame([(10,), (250,), (9999,)], "key long")
+        res = merge_delete(spark, path, keys, "key", n_buckets=8)
+        assert res["n_delete_keys"] == 3
+
+        after = read_merge_table(spark, path)
+        assert after.count() == 498  # 9999 never existed
+        assert after.where(F.col("key").isin(10, 250)).count() == 0
+        assert after.where(F.col("key") == 11).count() == 1
+
+        untouched = [d for d in before
+                     if int(d.split("=")[1]) not in res["touched_buckets"]]
+        for d in untouched:
+            assert os.path.getmtime(os.path.join(path, d)) == before[d], d
+
 
 class TestIvfTraining:
     def test_lloyd_training_deterministic_and_recall_holds(self, spark):
