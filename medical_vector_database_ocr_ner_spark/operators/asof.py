@@ -74,9 +74,16 @@ def asof_join(
     # right rows sharing (key, ts): the greatest payload tuple wins, every
     # run, on every partitioning. (_side still decides right-vs-probe at
     # equal ts first, so probes never sort before the rows they must see.)
+    # Maps are not orderable in Spark — if any payload column contains a
+    # map, drop the tie-break (ties then resolve arbitrarily for those
+    # inputs) instead of failing the whole plan at analysis time.
+    payload_orderable = not any(
+        "map<" in right.schema[c].dataType.simpleString() for c in right_cols
+    )
+    order_keys = ["_ts", "_side"] + (["_payload"] if payload_orderable else [])
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side", "_payload")
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

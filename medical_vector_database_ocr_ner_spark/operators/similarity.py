@@ -119,18 +119,36 @@ class IvfIndex:
             self.centroids = self._lloyd_round(emb)
         self.assigned = self._assign(emb).cache()
 
+    _MEAN_SCALE = 1_000_000  # quantization for order-independent means
+
     def _lloyd_round(self, emb: "DataFrame") -> list[tuple[int, list[float]]]:
         """One Lloyd's iteration: assign every vector to its best current
         centroid, then recompute each centroid as the per-dimension mean
-        of its members (empty clusters keep their old centroid)."""
+        of its members (empty clusters keep their old centroid).
+
+        The mean is computed over 1e-6-quantized values as an INTEGER sum:
+        integer addition is associative/commutative, so the result is
+        bit-identical regardless of partition count or shuffle-fetch order
+        — a float avg() would drift in the last bits across runs and break
+        the determinism this index guarantees. (Unit-norm components and
+        long arithmetic keep the sum far from overflow below ~10^12 rows
+        per cluster.)"""
         assigned = self._assign(emb)
+        scale = float(self._MEAN_SCALE)
         means = (
             assigned.select(
                 "centroid_id",
                 F.posexplode(F.col(self.vec_col)).alias("dim", "x"),
             )
             .groupBy("centroid_id", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("x").cast("double") * scale).cast("long")
+                    )
+                    / (F.count("*") * scale)
+                ).alias("m")
+            )
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}

@@ -45,7 +45,17 @@ def salted_join(
     salt_cols: big-side columns whose hash spreads the hot key (default:
     every big-side column — any row-distinguishing subset works; using
     only the join key would defeat the salt).
+
+    how: 'inner' or 'left' only. Right/full joins are rejected: each
+    unmatched small-side REPLICA would null-extend into its own output
+    row (up to n_salts spurious rows per key), silently breaking the
+    row-identity guarantee.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: "
+            "replicated small-side rows break right/full semantics"
+        )
     salt_src = [F.col(c) for c in (salt_cols or big.columns)]
     big_salted = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int")

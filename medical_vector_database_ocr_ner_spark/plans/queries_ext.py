@@ -20,9 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .queries import (
+    H60_SQL,
     ORACLE_MINHASH_SIG,
     QUERIES,
     QuerySpec,
+    _h60,
     _t,
     q_minhash_signatures,
 )
@@ -486,7 +488,7 @@ def q_train_val_test_split(spark, sf):
     always lands in the same split even if the corpus is re-ingested.
     80/10/10 by hash bucket; output: per (lang, split) counts."""
     docs = _t(spark, sf, "documents")
-    bucket = F.pmod(_h60_ext(F.col("text")), F.lit(100))
+    bucket = F.pmod(_h60(F.col("text")), F.lit(100))
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -497,16 +499,11 @@ def q_train_val_test_split(spark, sf):
     )
 
 
-# portable 60-bit hash, same construction as plans/queries.py::_h60
-def _h60_ext(col):
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
-
-
-_H60_TEXT_SQL = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+_H60_TEXT = H60_SQL.format(x="text")
 ORACLE_SPLIT = f"""
 SELECT lang,
-       CASE WHEN {_H60_TEXT_SQL} % 100 < 80 THEN 'train'
-            WHEN {_H60_TEXT_SQL} % 100 < 90 THEN 'val'
+       CASE WHEN {_H60_TEXT} % 100 < 80 THEN 'train'
+            WHEN {_H60_TEXT} % 100 < 90 THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs
 FROM documents GROUP BY 1, 2

@@ -11,9 +11,10 @@ Layout: the table directory holds one subdirectory per hash bucket
 (``bucket=K/``, K = ``pmod(xxhash64(key), n_buckets)``). An upsert
 computes the distinct buckets of the incoming keys (tiny driver list),
 reads ONLY those bucket directories, anti-joins the old rows of updated
-keys out, unions the new rows in, and atomically swaps the rewritten
-buckets (write-new + rename). Untouched buckets — at production scale,
-almost all of them — are never read, never written.
+keys out, unions the new rows in, and swaps the rewritten buckets via
+two atomic renames (see ``_swap_bucket`` for the crash window and why
+the production layout is an Iceberg metadata swap). Untouched buckets —
+at production scale, almost all of them — are never read, never written.
 
 This is the same bucket arithmetic as plans/lineage.py (resume) and
 sources/bucketed.py (co-located joins): one layout decision serving
@@ -93,8 +94,7 @@ def merge_delete(
             kept = old.join(kdf.where(F.col("_b") == b).drop("_b"), key, "left_anti")
             tmp_dir = os.path.join(path, f".tmp-{BUCKET_PREFIX}{b}-{uuid.uuid4().hex}")
             kept.write.mode("overwrite").parquet(tmp_dir)
-            shutil.rmtree(bucket_dir)
-            os.rename(tmp_dir, bucket_dir)
+            _swap_bucket(bucket_dir, tmp_dir)
     finally:
         kdf.unpersist()
     return {"touched_buckets": touched, "n_delete_keys": n_keys}
@@ -114,8 +114,17 @@ def merge_upsert(
     """
     upd = updates.withColumn("_b", _bucket_col(F.col(key), n_buckets)).cache()
     try:
-        touched = sorted(r["_b"] for r in upd.select("_b").distinct().collect())
         n_upserts = upd.count()
+        n_distinct = upd.select(key).distinct().count()
+        if n_distinct != n_upserts:
+            # MERGE INTO errors on multiple source matches for one target
+            # row; silently inserting both would break the key-uniqueness
+            # invariant every later upsert/delete relies on
+            raise ValueError(
+                f"updates contain duplicate keys ({n_upserts - n_distinct} "
+                "extra rows); deduplicate before merge_upsert"
+            )
+        touched = sorted(r["_b"] for r in upd.select("_b").distinct().collect())
 
         for b in touched:
             bucket_dir = os.path.join(path, f"{BUCKET_PREFIX}{b}")
@@ -129,9 +138,23 @@ def merge_upsert(
             tmp_dir = os.path.join(path, f".tmp-{BUCKET_PREFIX}{b}-{uuid.uuid4().hex}")
             # materialize BEFORE touching the live dir (read-own-input)
             merged.write.mode("overwrite").parquet(tmp_dir)
-            if os.path.isdir(bucket_dir):
-                shutil.rmtree(bucket_dir)
-            os.rename(tmp_dir, bucket_dir)
+            _swap_bucket(bucket_dir, tmp_dir)
     finally:
         upd.unpersist()
     return {"touched_buckets": touched, "n_upserts": n_upserts}
+
+
+def _swap_bucket(bucket_dir: str, tmp_dir: str) -> None:
+    """Two-rename swap: old→aside, tmp→live, then delete aside. Each
+    rename is atomic; a crash between them leaves the bucket briefly
+    missing from the glob but BOTH copies intact on disk (recover by
+    renaming either back). Directories cannot be swapped atomically on a
+    POSIX filesystem — the production layout (Iceberg) swaps a metadata
+    pointer instead, which is why SCALE.md maps this table to Iceberg."""
+    if os.path.isdir(bucket_dir):
+        aside = bucket_dir + f".old-{uuid.uuid4().hex}"
+        os.rename(bucket_dir, aside)
+        os.rename(tmp_dir, bucket_dir)
+        shutil.rmtree(aside)
+    else:
+        os.rename(tmp_dir, bucket_dir)

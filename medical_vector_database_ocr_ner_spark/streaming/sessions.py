@@ -82,8 +82,17 @@ def _make_sessionize(use_timeout: bool):
                 elif t - cur[1] > gap_us:
                     closed.append(cur)
                     cur = (t, t, 1, v)
+                elif cur[0] - t > gap_us:
+                    # cross-batch straggler OLDER than the open session by
+                    # more than the gap: it is its own, already-bounded
+                    # session (something ≥gap later exists) — close it now
+                    # without corrupting the open session's boundaries
+                    closed.append((t, t, 1, v))
                 else:
-                    cur = (cur[0], t, cur[2] + 1, cur[3] + v)
+                    # merge; min/max guard cross-batch disorder so
+                    # start/last never move the wrong way
+                    cur = (min(cur[0], t), max(cur[1], t),
+                           cur[2] + 1, cur[3] + v)
             if cur is not None:
                 state.update(cur)
                 if use_timeout:

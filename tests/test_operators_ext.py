@@ -560,3 +560,89 @@ class TestSearchByEntities:
             (r["vec_id"], r["similarity"]) for r in b
         ]
         assert len(a) == 5
+
+
+class TestReviewFixes:
+    def test_salted_join_rejects_right_full(self, spark):
+        import pytest
+
+        from medical_vector_database_ocr_ner_spark.operators.skewjoin import (
+            salted_join,
+        )
+
+        big = spark.createDataFrame([(1, "a")], "row_id long, key string")
+        small = spark.createDataFrame([("a", 1)], "key string, x long")
+        for how in ("right", "full", "right_outer"):
+            with pytest.raises(ValueError):
+                salted_join(big, small, on="key", how=how)
+
+    def test_merge_upsert_rejects_duplicate_keys(self, spark, tmp_path_factory):
+        import pytest
+
+        from medical_vector_database_ocr_ner_spark.sources.merge import (
+            merge_upsert,
+            write_merge_table,
+        )
+
+        path = str(tmp_path_factory.mktemp("merge_dup") / "tbl")
+        write_merge_table(
+            spark.createDataFrame([(1, "a")], "key long, val string"),
+            path, "key", n_buckets=2,
+        )
+        dup = spark.createDataFrame(
+            [(3, "A"), (3, "B")], "key long, val string"
+        )
+        with pytest.raises(ValueError, match="duplicate keys"):
+            merge_upsert(spark, path, dup, "key", n_buckets=2)
+
+    def test_asof_map_payload_does_not_crash(self, spark):
+        from medical_vector_database_ocr_ner_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u", _ts("2024-01-01 10:00:00"))],
+            "click_id long, user string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("u", _ts("2024-01-01 09:00:00"), {"a": "1"})],
+            "user string, ts timestamp, attrs map<string,string>",
+        )
+        out = asof_join(left, right, on="user", right_cols=["attrs"]).collect()
+        assert out[0]["asof_attrs"] == {"a": "1"}
+
+    def test_session_late_straggler_does_not_corrupt_state(self, spark, tmp_path_factory):
+        """A cross-drain event far OLDER than the open session becomes its
+        own closed session; a mildly-late event merges without moving the
+        session end backwards."""
+        from datetime import datetime, timedelta
+
+        from medical_vector_database_ocr_ner_spark.streaming.sessions import (
+            run_sessionize,
+        )
+
+        base = tmp_path_factory.mktemp("sess_late")
+        src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+        t0 = datetime(2024, 1, 1, 9, 0, 0)
+        schema = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+
+        def ev(eid, minutes, value):
+            return (eid, t0 + timedelta(minutes=minutes), 1, "x", value, "{}")
+
+        spark.createDataFrame([ev(1, 60, 1.0), ev(2, 70, 2.0)], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(src)
+        run_sessionize(spark, src, ckpt, out).awaitTermination()
+
+        # drain 2: one straggler from BEFORE the session (own session),
+        # one mildly-late merge (65min), one closer far ahead
+        spark.createDataFrame(
+            [ev(3, 0, 3.0), ev(4, 65, 4.0), ev(5, 200, 5.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_sessionize(spark, src, ckpt, out).awaitTermination()
+
+        rows = {(r["n_events"], r["sum_value"]):
+                (r["session_start"], r["session_end"])
+                for r in spark.read.parquet(out).collect()}
+        assert (1, 3.0) in rows          # straggler closed alone
+        assert (3, 7.0) in rows          # 60,70 + merged 65
+        s, e = rows[(3, 7.0)]
+        assert (e - s).total_seconds() == 600 and s.minute == 0
