@@ -646,3 +646,33 @@ class TestReviewFixes:
         assert (3, 7.0) in rows          # 60,70 + merged 65
         s, e = rows[(3, 7.0)]
         assert (e - s).total_seconds() == 600 and s.minute == 0
+
+
+class TestCompaction:
+    def test_compacts_small_files_preserving_rows(self, spark, tmp_path_factory):
+        from medical_vector_database_ocr_ner_spark.sources.compact import (
+            compact_dir,
+        )
+
+        path = str(tmp_path_factory.mktemp("compact") / "tbl")
+        df = spark.createDataFrame([(i, f"v{i}") for i in range(5000)],
+                                   "key long, val string")
+        df.repartition(40).write.mode("overwrite").parquet(path)  # 40 shards
+
+        before = {r["key"] for r in spark.read.parquet(path).collect()}
+        res = compact_dir(spark, path, target_bytes=10 * 1024 * 1024)
+        assert res["compacted"] and res["files_before"] >= 40
+        assert res["files_after"] < res["files_before"]
+
+        after_df = spark.read.parquet(path)
+        assert {r["key"] for r in after_df.collect()} == before
+
+    def test_noop_when_already_compact(self, spark, tmp_path_factory):
+        from medical_vector_database_ocr_ner_spark.sources.compact import (
+            compact_dir,
+        )
+
+        path = str(tmp_path_factory.mktemp("compact2") / "tbl")
+        spark.range(100).coalesce(1).write.mode("overwrite").parquet(path)
+        res = compact_dir(spark, path)
+        assert not res["compacted"] and res["files_after"] == 1
