@@ -499,6 +499,41 @@ def q_train_val_test_split(spark, sf):
     )
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling: per-language rates applied via
+    the content-hash bucket (en kept at 20%, others at 5%) — the
+    reproducible form of ``sampleBy`` a training mixture needs (same
+    rows selected on every run/engine/re-shard); output: kept counts and
+    realized rate per language."""
+    docs = _t(spark, sf, "documents")
+    bucket = F.pmod(_h60(F.col("text")), F.lit(1000))
+    keep = F.when(F.col("lang") == "en", bucket < 200).otherwise(bucket < 50)
+    return (
+        docs.select("lang", keep.cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.sum("kept").alias("n_sampled"),
+            F.count("*").alias("n_total"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("rate"),
+        )
+    )
+
+
+_H60_T = H60_SQL.format(x="text")
+ORACLE_STRATIFIED = f"""
+SELECT lang,
+       sum(kept) AS n_sampled,
+       count(*) AS n_total,
+       round(CAST(sum(kept) AS DOUBLE) / count(*), 4) AS rate
+FROM (
+  SELECT lang,
+         CASE WHEN lang = 'en' THEN CAST({_H60_T} % 1000 < 200 AS INT)
+              ELSE CAST({_H60_T} % 1000 < 50 AS INT) END AS kept
+  FROM documents
+) GROUP BY lang
+"""
+
+
 _H60_TEXT = H60_SQL.format(x="text")
 ORACLE_SPLIT = f"""
 SELECT lang,
@@ -563,6 +598,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     ),
     "edit_distance_pairs": QuerySpec(q_edit_distance_pairs, ORACLE_EDIT_DISTANCE),
     "train_val_test_split": QuerySpec(q_train_val_test_split, ORACLE_SPLIT),
+    "stratified_sample": QuerySpec(q_stratified_sample, ORACLE_STRATIFIED),
     "dup_clusters": QuerySpec(q_dup_clusters, ORACLE_DUP_CLUSTERS),
     "hll_distinct_tokens": QuerySpec(
         q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
