@@ -57,6 +57,11 @@ def sniff_payload_kind(data: bytes) -> str:
     head = data[:256].lstrip()[:64].lower()
     if head.startswith((b"<!doctype html", b"<html", b"<head", b"<body")):
         return "html"
+    # HTML fragments are common in real crawls (<div>, <p>, <article>, …);
+    # any leading tag-like token routes to the html branch — magic-byte
+    # kinds (pdf/image/executable) were already claimed above
+    if head[:1] == b"<" and (head[1:2].isalpha() or head[1:2] in (b"!", b"?")):
+        return "html"
     return "other"
 
 

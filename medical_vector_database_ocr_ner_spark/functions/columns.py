@@ -51,7 +51,10 @@ def payload_kind_col(html: Column) -> Column:
             head_txt.startswith("<!doctype html")
             | head_txt.startswith("<html")
             | head_txt.startswith("<head")
-            | head_txt.startswith("<body"),
+            | head_txt.startswith("<body")
+            # HTML fragments (<div>, <p>, <?xml …) — any leading tag-like
+            # token, mirroring core.validation.sniff_payload_kind
+            | head_txt.rlike("^<[a-z!?]"),
             F.lit("html"),
         )
         .otherwise(F.lit("other"))

@@ -676,3 +676,59 @@ class TestCompaction:
         spark.range(100).coalesce(1).write.mode("overwrite").parquet(path)
         res = compact_dir(spark, path)
         assert not res["compacted"] and res["files_after"] == 1
+
+
+class TestHostilePagesSparkPath:
+    def test_hostile_payloads_quarantine_not_crash(self, spark):
+        """Hostile payloads through the FULL extraction DAG: executables
+        quarantine with a reject reason, pathological HTML (2000-deep
+        nesting, non-UTF8 bytes, control chars, 50k tokens) extracts
+        without crashing, and every emitted span indexes its text."""
+        from datetime import datetime
+
+        from medical_vector_database_ocr_ner_spark.operators.extraction import (
+            extract_documents,
+        )
+
+        ts = datetime(2024, 1, 1)
+        rows = [
+            ("https://h.example/mz", ts, b"MZ\x90\x00payload", "", "en"),
+            ("https://h.example/elf", ts, b"\x7fELF\x02\x01", "", "en"),
+            ("https://h.example/deep", ts,
+             b"<div>" * 2000
+             + b"core content: Metformin 500mg prescribed twice daily for "
+             + b"diabetes mellitus treatment and recovery"
+             + b"</div>" * 2000,
+             "", "en"),
+            ("https://h.example/nonutf8", ts,
+             b"<p>pre " + bytes(range(128, 256)) + b" post</p>", "", "en"),
+            ("https://h.example/ctrl", ts,
+             b"<p>a\x00b\x07c\x1fd normal text here</p>", "", "en"),
+            ("https://h.example/huge", ts,
+             b"<p>" + b"tok " * 50000 + b"</p>", "", "en"),
+            ("https://h.example/empty", ts, b"", "", "en"),
+            ("https://h.example/../evil", ts, b"<p>x</p>", "", "en"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, "
+                  "lang string"
+        )
+        docs = extract_documents(pages).collect()
+        assert len(docs) == len(rows)
+
+        by_url = {r["url"].rsplit("/", 1)[-1]: r for r in docs}
+        assert by_url["mz"]["status"] == "failed"
+        assert "executable" in by_url["mz"]["error_message"]
+        assert by_url["elf"]["status"] == "failed"
+        assert by_url["evil"]["status"] == "failed"  # malicious url pattern
+
+        deep = by_url["deep"]
+        assert deep["status"] == "completed"
+        assert "Metformin" in deep["extracted_text"]
+        for r in docs:
+            if r["status"] != "completed":
+                continue
+            text = r["extracted_text"]
+            assert "\x00" not in text
+            for e in r["entities"]:
+                assert text[e["start"]:e["end"]] == e["text"], r["url"]
