@@ -37,6 +37,8 @@ HEADLINE = [
     "asof_last_error",
     "value_percentiles",
     "dup_clusters",
+    "revenue_by_nation",
+    "ann_batch_topk",
     "pages_extraction",
     "semantic_search",
 ]
