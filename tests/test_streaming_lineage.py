@@ -279,3 +279,67 @@ class TestStatefulSessionization:
                 for r in spark.read.parquet(out).collect()}
         s, e = rows[(1, 3)]
         assert (e - s).total_seconds() == 600
+
+
+class TestSessionTimeoutBranch:
+    def test_timeout_flushes_open_session(self):
+        """Continuous-mode branch (use_timeout=True): a timed-out group
+        emits its open session exactly once and clears state — exercised
+        directly since availableNow drains cannot fire processing-time
+        timeouts without hanging the query."""
+        from medical_vector_database_ocr_ner_spark.streaming.sessions import (
+            _make_sessionize,
+        )
+
+        class StubState:
+            def __init__(self, value):
+                self._v = value
+                self.removed = False
+                self.updated = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            @property
+            def hasTimedOut(self):
+                return True
+
+            def remove(self):
+                self.removed = True
+
+            def update(self, v):
+                self.updated = v
+
+            def setTimeoutDuration(self, ms):
+                raise AssertionError("must not re-arm a timed-out group")
+
+        fn = _make_sessionize(use_timeout=True)
+        st = StubState((1_700_000_000_000_000, 1_700_000_600_000_000, 3, 6.0))
+        out = list(fn((7,), iter([]), st))
+        assert st.removed and st.updated is None
+        row = out[0].iloc[0]
+        assert row["user_id"] == 7 and row["n_events"] == 3
+        assert row["sum_value"] == 6.0
+        assert (row["session_end"] - row["session_start"]).total_seconds() == 600
+
+    def test_timeout_with_no_state_emits_nothing(self):
+        from medical_vector_database_ocr_ner_spark.streaming.sessions import (
+            _make_sessionize,
+        )
+
+        class EmptyState:
+            exists = False
+            get = None
+            hasTimedOut = True
+
+            def remove(self):
+                pass
+
+        fn = _make_sessionize(use_timeout=True)
+        out = list(fn((7,), iter([]), EmptyState()))
+        assert len(out[0]) == 0
