@@ -37,8 +37,13 @@ def payload_kind_col(html: Column) -> Column:
     head3 = F.upper(F.hex(F.substring(html, 1, 3)))
     # doctype sniff via a lazy binary→string cast: unlike decode(), the cast
     # never validates, so hostile non-UTF8 bytes can't abort the scan (they
-    # simply fail every ASCII prefix match and fall through to 'other')
-    head_txt = F.lower(F.ltrim(F.substring(html, 1, 256).cast("string")))
+    # simply fail every ASCII prefix match and fall through to 'other').
+    # Leading whitespace is stripped with a regex, NOT ltrim: Spark ltrim
+    # removes only spaces while the core twin's lstrip removes \n/\t too —
+    # parity requires the same definition of whitespace.
+    head_txt = F.lower(
+        F.regexp_replace(F.substring(html, 1, 256).cast("string"), r"^\s+", "")
+    )
     return (
         F.when(F.length(html) == 0, F.lit("empty"))
         .when(is_executable_col(html), F.lit("executable"))

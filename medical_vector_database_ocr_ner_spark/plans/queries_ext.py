@@ -519,7 +519,7 @@ def q_stratified_sample(spark, sf):
     )
 
 
-_H60_T = H60_SQL.format(x="text")
+_H60_TEXT = H60_SQL.format(x="text")
 ORACLE_STRATIFIED = f"""
 SELECT lang,
        sum(kept) AS n_sampled,
@@ -527,14 +527,13 @@ SELECT lang,
        round(CAST(sum(kept) AS DOUBLE) / count(*), 4) AS rate
 FROM (
   SELECT lang,
-         CASE WHEN lang = 'en' THEN CAST({_H60_T} % 1000 < 200 AS INT)
-              ELSE CAST({_H60_T} % 1000 < 50 AS INT) END AS kept
+         CASE WHEN lang = 'en' THEN CAST({_H60_TEXT} % 1000 < 200 AS INT)
+              ELSE CAST({_H60_TEXT} % 1000 < 50 AS INT) END AS kept
   FROM documents
 ) GROUP BY lang
 """
 
 
-_H60_TEXT = H60_SQL.format(x="text")
 ORACLE_SPLIT = f"""
 SELECT lang,
        CASE WHEN {_H60_TEXT} % 100 < 80 THEN 'train'
