@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from .queries import (
     H60_SQL,
     ORACLE_MINHASH_SIG,
+    ORACLE_QUALITY,
     QUERIES,
     QuerySpec,
     _h60,
@@ -418,8 +419,9 @@ def q_dup_clusters(spark, sf):
     return duplicate_clusters(docs, edges, "doc_id", "da", "db")
 
 
-ORACLE_DUP_CLUSTERS = f"""
-WITH RECURSIVE sig AS ({ORACLE_MINHASH_SIG}),
+# shared CTE chain: minhash sigs → star edges → symmetric closure →
+# component per node (used by dup_clusters and cluster_keep_best)
+_CLUSTER_CTES = f"""sig AS ({ORACLE_MINHASH_SIG}),
 stars AS (
   SELECT doc_id AS da, min(doc_id) OVER (PARTITION BY m0, m1) AS db FROM sig
   UNION ALL
@@ -439,10 +441,40 @@ reach(a, b) AS (
 comp AS (
   SELECT a AS node, least(a, min(b)) AS component
   FROM reach GROUP BY a
-)
+)"""
+
+ORACLE_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_CLUSTER_CTES}
 SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
+
+
+def q_cluster_keep_best(spark, sf):
+    """End-to-end dedup POLICY: near-dup clusters (LSH star-contraction +
+    connected components) joined to the quality score, keeping the
+    highest-quality member per cluster (doc_id tie-break). This is the
+    composite a training pipeline actually runs: cluster → rank → keep
+    one; the cluster and quality building blocks are each independently
+    oracle-verified above."""
+    from .queries import q_quality_score
+
+    clusters = q_dup_clusters(spark, sf)
+    quality = q_quality_score(spark, sf)
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster")
+    wo = w.orderBy(F.desc("quality_bp"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rk", F.row_number().over(wo))
+        .withColumn("n_members", F.count("*").over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("keeper_id"),
+            "quality_bp",
+            "n_members",
+        )
+    )
 
 
 def q_ann_batch_topk(spark, sf):
@@ -544,6 +576,25 @@ FROM documents GROUP BY 1, 2
 """
 
 
+ORACLE_CLUSTER_KEEP_BEST = f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+clusters AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+quality AS ({ORACLE_QUALITY}),
+ranked AS (
+  SELECT cl.cluster, cl.doc_id, q.quality_bp,
+         row_number() OVER (PARTITION BY cl.cluster
+                            ORDER BY q.quality_bp DESC, cl.doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cl.cluster) AS n_members
+  FROM clusters cl JOIN quality q ON q.doc_id = cl.doc_id
+)
+SELECT cluster, doc_id AS keeper_id, quality_bp, n_members
+FROM ranked WHERE rk = 1
+"""
+
+
 # === multimodal (rows-only) =================================================
 
 def q_multimodal_image_features(spark, sf):
@@ -599,6 +650,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "train_val_test_split": QuerySpec(q_train_val_test_split, ORACLE_SPLIT),
     "stratified_sample": QuerySpec(q_stratified_sample, ORACLE_STRATIFIED),
     "dup_clusters": QuerySpec(q_dup_clusters, ORACLE_DUP_CLUSTERS),
+    "cluster_keep_best": QuerySpec(q_cluster_keep_best, ORACLE_CLUSTER_KEEP_BEST),
     "hll_distinct_tokens": QuerySpec(
         q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
     ),
