@@ -595,6 +595,36 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_above_avg_orders_sql(spark, sf):
+    """SQL-API + correlated scalar subquery: orders above their customer's
+    average order value. Catalyst DECORRELATES the subquery into an
+    aggregate + join (no per-row re-execution) — the same query a
+    reference user would write in SQL runs unchanged on this engine."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n_above_avg,
+               round(sum(o_totalprice), 4) AS total_above
+        FROM orders_v o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+                              FROM orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority
+    """)
+
+
+ORACLE_ABOVE_AVG = """
+SELECT o_orderpriority,
+       count(*) AS n_above_avg,
+       round(sum(o_totalprice), 4) AS total_above
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+                      FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o_orderpriority
+"""
+
+
 # === multimodal (rows-only) =================================================
 
 def q_multimodal_image_features(spark, sf):
@@ -651,6 +681,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, ORACLE_STRATIFIED),
     "dup_clusters": QuerySpec(q_dup_clusters, ORACLE_DUP_CLUSTERS),
     "cluster_keep_best": QuerySpec(q_cluster_keep_best, ORACLE_CLUSTER_KEEP_BEST),
+    "above_avg_orders_sql": QuerySpec(q_above_avg_orders_sql, ORACLE_ABOVE_AVG),
     "hll_distinct_tokens": QuerySpec(
         q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
     ),
