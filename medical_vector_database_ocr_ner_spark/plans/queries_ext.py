@@ -441,25 +441,46 @@ reach(a, b) AS (
 comp AS (
   SELECT a AS node, least(a, min(b)) AS component
   FROM reach GROUP BY a
+),
+clusters AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 )"""
 
 ORACLE_DUP_CLUSTERS = f"""
 WITH RECURSIVE {_CLUSTER_CTES}
-SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
-FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+SELECT doc_id, cluster FROM clusters
 """
 
 
+def _precise_dup_clusters(spark, sf):
+    """Clusters from FULL-signature (all 4 minhash) collisions — the
+    precision setting: only near-exact duplicates merge. The 2-band
+    setting in q_dup_clusters maximizes recall and, on this fixture's
+    deliberately tiny vocabulary, transitively over-merges (2 giant
+    clusters at sf0.01) — fine for demonstrating the CC operator, wrong
+    for a keep-one policy, hence the separate edge definition here."""
+    from ..operators.components import duplicate_clusters
+
+    sig = q_minhash_signatures(spark, sf)
+    w = Window.partitionBy("m0", "m1", "m2", "m3")
+    stars = sig.select(
+        F.col("doc_id").alias("da"), F.min("doc_id").over(w).alias("db")
+    ).where(F.col("db") < F.col("da"))
+    docs = _t(spark, sf, "documents")
+    return duplicate_clusters(docs, stars, "doc_id", "da", "db")
+
+
 def q_cluster_keep_best(spark, sf):
-    """End-to-end dedup POLICY: near-dup clusters (LSH star-contraction +
-    connected components) joined to the quality score, keeping the
-    highest-quality member per cluster (doc_id tie-break). This is the
-    composite a training pipeline actually runs: cluster → rank → keep
-    one; the cluster and quality building blocks are each independently
-    oracle-verified above."""
+    """End-to-end dedup POLICY: precise near-dup clusters (full-signature
+    stars + connected components) joined to the quality score, keeping
+    the highest-quality member per cluster (doc_id tie-break). This is
+    the composite a training pipeline actually runs: cluster → rank →
+    keep one; the cluster and quality building blocks are each
+    independently oracle-verified."""
     from .queries import q_quality_score
 
-    clusters = q_dup_clusters(spark, sf)
+    clusters = _precise_dup_clusters(spark, sf)
     quality = q_quality_score(spark, sf)
     joined = clusters.join(quality, "doc_id")
     w = Window.partitionBy("cluster")
@@ -576,11 +597,17 @@ FROM documents GROUP BY 1, 2
 """
 
 
+# full-signature collision is an equivalence relation, so the oracle
+# needs no recursive closure: cluster = min doc_id of the signature group
+# (identical to CC over the full-signature star edges the Spark side runs)
 ORACLE_CLUSTER_KEEP_BEST = f"""
-WITH RECURSIVE {_CLUSTER_CTES},
+WITH sig AS ({ORACLE_MINHASH_SIG}),
 clusters AS (
-  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
-  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+  SELECT d.doc_id, coalesce(s.comp, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY m0, m1, m2, m3) AS comp
+    FROM sig
+  ) s ON s.doc_id = d.doc_id
 ),
 quality AS ({ORACLE_QUALITY}),
 ranked AS (
@@ -595,34 +622,34 @@ FROM ranked WHERE rk = 1
 """
 
 
-def q_above_avg_orders_sql(spark, sf):
-    """SQL-API + correlated scalar subquery: orders above their customer's
-    average order value. Catalyst DECORRELATES the subquery into an
-    aggregate + join (no per-row re-execution) — the same query a
-    reference user would write in SQL runs unchanged on this engine."""
-    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql("""
-        SELECT o_orderpriority,
-               count(*) AS n_above_avg,
-               round(sum(o_totalprice), 4) AS total_above
-        FROM orders_v o
-        WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
-                              FROM orders_v o2
-                              WHERE o2.o_custkey = o.o_custkey)
-        GROUP BY o_orderpriority
-    """)
-
-
+# ONE copy of the SQL, run verbatim by BOTH engines (the Spark side
+# registers the table under the oracle's name). The avg comparison is
+# done in exact integer cents — price*count > sum — because a float avg
+# computed under different summation orders can differ by 1 ulp between
+# engines and flip rows sitting exactly on the mean (the same
+# ties-at-the-boundary hazard quality_bp avoids with integer basis
+# points).
 ORACLE_ABOVE_AVG = """
 SELECT o_orderpriority,
        count(*) AS n_above_avg,
        round(sum(o_totalprice), 4) AS total_above
 FROM orders o
-WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
-                      FROM orders o2
-                      WHERE o2.o_custkey = o.o_custkey)
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    > (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 GROUP BY o_orderpriority
 """
+
+
+def q_above_avg_orders_sql(spark, sf):
+    """SQL-API + correlated scalar subqueries: orders strictly above their
+    customer's average order value. Catalyst DECORRELATES both per-row
+    subqueries into aggregates + joins (no per-row re-execution) — the
+    exact SQL string a reference user would write (and that the DuckDB
+    oracle runs) executes unchanged on this engine."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(ORACLE_ABOVE_AVG)
 
 
 # === multimodal (rows-only) =================================================
