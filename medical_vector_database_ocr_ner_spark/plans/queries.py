@@ -271,7 +271,7 @@ def q_gibberish_docs(spark, sf):
 
 
 ORACLE_GIBBERISH = """
-SELECT doc_id, max_c, n_words FROM (
+SELECT doc_id, max_c, CAST(n_words AS BIGINT) AS n_words FROM (
   SELECT doc_id, max(c) AS max_c, sum(c) AS n_words FROM (
     SELECT doc_id, word, count(*) AS c FROM (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -320,10 +320,10 @@ def q_doc_stats_panel(spark, sf):
 
 ORACLE_STATS_PANEL = """
 SELECT count(*) AS total_docs,
-       count_if(lang = 'en') AS en_docs,
+       CAST(count_if(lang = 'en') AS BIGINT) AS en_docs,
        round(avg(n_chars), 4) AS avg_chars,
        count(DISTINCT source) AS n_sources,
-       sum(length(text)) AS total_text_len
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len
 FROM documents
 """
 
@@ -447,7 +447,8 @@ def q_events_json_extract(spark, sf):
 
 
 ORACLE_JSON = """
-SELECT event_type, round(avg(k), 4) AS avg_k, count_if(k IS NULL) AS null_k
+SELECT event_type, round(avg(k), 4) AS avg_k,
+       CAST(count_if(k IS NULL) AS BIGINT) AS null_k
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
       FROM events)
 GROUP BY event_type
@@ -469,7 +470,8 @@ def q_user_sessions(spark, sf):
 
 
 ORACLE_SESSIONS = """
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR date_diff('second', lag(ts) OVER w, ts) > 300
@@ -703,7 +705,7 @@ WITH tc AS (
   SELECT doc_id, bit, p, sum(c * (((h // p) % 2) * 2 - 1)) AS s
   FROM tc CROSS JOIN bits GROUP BY doc_id, bit, p
 )
-SELECT doc_id, sum(CASE WHEN s >= 0 THEN p ELSE 0 END) AS simhash
+SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc_id
 """
 
@@ -881,9 +883,9 @@ def q_quality_score(spark, sf):
 
 ORACLE_QUALITY = f"""
 SELECT doc_id,
-       (CAST(4 * least(n_chars, 500) * n_words
-             + 1500 * (n_words - max_c) + 1500 * n_stop AS BIGINT) * 10000)
-       // (5000 * n_words) AS quality_bp
+       CAST((CAST(4 * least(n_chars, 500) * n_words
+                  + 1500 * (n_words - max_c) + 1500 * n_stop AS BIGINT) * 10000)
+            // (5000 * n_words) AS BIGINT) AS quality_bp
 FROM (
   SELECT doc_id, n_chars, max(c) AS max_c, sum(c) AS n_words,
          sum(CASE WHEN tok IN ({_STOPS_SQL}) THEN c ELSE 0 END) AS n_stop

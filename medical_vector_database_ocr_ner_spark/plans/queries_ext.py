@@ -68,7 +68,16 @@ SELECT c.event_id, c.user_id,
        e.event_id AS last_err_id,
        round(e.value, 4) AS last_err_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (
+  -- pre-dedup to the greatest (event_id, value) payload per (user_id, ts):
+  -- DuckDB's ASOF choice among equal-ts right rows is unspecified, while the
+  -- Spark asof_join deterministically keeps the greatest payload tuple
+  -- (operators/asof.py); deduping to that exact row makes both agree even if
+  -- the fixture ever carries duplicate (user_id, ts) error events.
+  SELECT * FROM events WHERE event_type = 'error'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC, value DESC) = 1
+) e
   ON c.user_id = e.user_id AND e.ts <= c.ts
 """
 
@@ -125,11 +134,11 @@ def q_lang_source_pivot(spark, sf):
 
 ORACLE_PIVOT = """
 SELECT source,
-       count_if(lang = 'de') AS de,
-       count_if(lang = 'en') AS en,
-       count_if(lang = 'es') AS es,
-       count_if(lang = 'fr') AS fr,
-       count_if(lang = 'zh') AS zh
+       CAST(count_if(lang = 'de') AS BIGINT) AS de,
+       CAST(count_if(lang = 'en') AS BIGINT) AS en,
+       CAST(count_if(lang = 'es') AS BIGINT) AS es,
+       CAST(count_if(lang = 'fr') AS BIGINT) AS fr,
+       CAST(count_if(lang = 'zh') AS BIGINT) AS zh
 FROM documents GROUP BY source
 """
 
@@ -575,7 +584,7 @@ def q_stratified_sample(spark, sf):
 _H60_TEXT = H60_SQL.format(x="text")
 ORACLE_STRATIFIED = f"""
 SELECT lang,
-       sum(kept) AS n_sampled,
+       CAST(sum(kept) AS BIGINT) AS n_sampled,
        count(*) AS n_total,
        round(CAST(sum(kept) AS DOUBLE) / count(*), 4) AS rate
 FROM (

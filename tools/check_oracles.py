@@ -16,6 +16,9 @@ sys.path.insert(0, ".")
 
 
 def canon(v):
+    """Bit-faithful canonicalization: floats keep full precision and their
+    float-ness (3.0 != 3) so a DuckDB HUGEINT→float64 rendering can never
+    silently match a Spark BIGINT — the round-1 driver/local divergence."""
     if v is None:
         return "∅"
     if isinstance(v, bool):
@@ -23,12 +26,47 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, int):
         return str(v)
     return str(v)
+
+
+# coarse type classes: DuckDB HUGEINT (int128) gets its own class so the
+# local gate flags what the driver's canonicalizer flags (VERDICT r1).
+def duck_type_class(tname: str) -> str:
+    t = tname.upper()
+    if "HUGEINT" in t:
+        return "int128"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL") or t.startswith("DECIMAL"):
+        return "float" if t in ("FLOAT", "DOUBLE", "REAL") else "decimal"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "time"
+    if t in ("VARCHAR", "TEXT"):
+        return "str"
+    return "other"
+
+
+def spark_type_class(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s == "boolean":
+        return "bool"
+    if s.startswith("timestamp") or s == "date":
+        return "time"
+    if s == "string":
+        return "str"
+    return "other"
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
@@ -85,6 +123,12 @@ def main() -> None:
                 print(f"FAIL {name}: 0 rows on rows-only query")
             continue
         try:
+            otypes = {
+                r[0]: duck_type_class(r[1])
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM ({spec.oracle})"
+                ).fetchall()
+            }
             res = con.execute(spec.oracle)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -93,10 +137,19 @@ def main() -> None:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
+        stypes = {f.name: spark_type_class(f.dataType) for f in sdf.schema.fields}
+        type_mismatch = {
+            c: (stypes.get(c), otypes.get(c))
+            for c in set(stypes) | set(otypes)
+            if stypes.get(c) != otypes.get(c)
+        }
         status = "ok  "
         if sorted(scols) != sorted(ocols):
             status = "FAIL"
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(ocols)}")
+        elif type_mismatch:
+            status = "FAIL"
+            print(f"FAIL {name}: type class mismatch (spark, duck): {type_mismatch}")
         elif (sn, shash) != (on, ohash):
             status = "FAIL"
             print(f"FAIL {name}: spark n={sn} h={shash}  duck n={on} h={ohash}")
