@@ -136,11 +136,29 @@ def simhash(df: "DataFrame", text_col: str, id_col: str, bits: int = 64) -> "Dat
 def ngram_jaccard_pairs(
     df: "DataFrame", text_col: str, id_col: str,
     threshold: float = 0.8, shingle_n: int = 3,
+    df_max: int = 10_000,
 ) -> "DataFrame":
     """Exact Jaccard over shingle sets via inverted-index self-join:
     (id_a, id_b, jaccard). The join key is the shingle — pairs sharing zero
-    shingles never meet."""
+    shingles never meet.
+
+    ``df_max`` caps the document frequency of index shingles (VERDICT r1
+    item 4): a stop-shingle shared by 10^8 docs would otherwise be a
+    quadratic hot join key. Shingles with df > df_max are dropped from BOTH
+    the index and the per-doc sizes, so the output is the exact Jaccard
+    over the non-stop shingle sets — consistent numerator/denominator, and
+    every posting list (hence every join key's pair fan-out) is bounded by
+    df_max². Near-dup pairs lose nothing in practice: a shingle that common
+    carries no similarity signal. Raise or set df_max=None to disable."""
     sh = _word_shingles(df, text_col, id_col, shingle_n)
+    if df_max is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= df_max)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("_id").alias("id_a"), "shingle")
     b = sh.select(F.col("_id").alias("id_b"), "shingle")
@@ -171,25 +189,60 @@ def _sign_bucket(vec_col, n_bits: int) -> "Column":
 
 def embedding_cosine_dups(
     emb: "DataFrame", vec_col: str = "embedding", id_col: str = "vec_id",
-    threshold: float = 0.95, n_bits: int = 12,
+    threshold: float = 0.95, n_bits: int = 12, max_bucket: int = 1000,
 ) -> "DataFrame":
     """Embedding near-dup: sign-bit LSH bucket join, exact cosine inside the
     bucket only. Assumes unit-normalized vectors (cosine = dot); near-dup
-    vectors agree on leading sign bits with overwhelming probability."""
+    vectors agree on leading sign bits with overwhelming probability.
+
+    ``max_bucket`` bounds per-bucket pair fan-out (VERDICT r1 item 4): a
+    degenerate bucket (e.g. zero-ish or mass-duplicated vectors) would
+    otherwise go quadratic. Buckets with ≤ max_bucket members do the full
+    within-bucket pair join; larger buckets emit only STAR pairs — every
+    member scored exactly against the bucket's min-id representative — so
+    work per bucket is linear in its size. Near-dup consumers that cluster
+    (star contraction / connected components) recover the same clusters:
+    members near-identical to each other are near-identical to the
+    representative. Direct pair-level recall inside oversized buckets is
+    traded for the bound; set max_bucket=None to disable."""
     b = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         _sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
-    a_side = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
-    b_side = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
     )
-    return (
-        a_side.join(b_side, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot, 6))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+
+    def _score(pairs: "DataFrame") -> "DataFrame":
+        return (
+            pairs.where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(dot, 6))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+
+    if max_bucket is None:
+        a_side = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
+        b_side = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
+        return _score(a_side.join(b_side, "bucket"))
+
+    stats = b.groupBy("bucket").agg(
+        F.count("*").alias("_bn"), F.min("_id").alias("_rep")
     )
+    tagged = b.join(stats, "bucket")
+    small = tagged.where(F.col("_bn") <= max_bucket)
+    a_side = small.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
+    b_side = small.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
+    small_pairs = a_side.join(b_side, "bucket")
+
+    big = tagged.where(F.col("_bn") > max_bucket)
+    reps = big.where(F.col("_id") == F.col("_rep")).select(
+        "bucket", F.col("_id").alias("id_a"), F.col("_v").alias("va")
+    )
+    big_pairs = (
+        big.where(F.col("_id") != F.col("_rep"))
+        .select("bucket", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+        .join(reps, "bucket")
+    )
+    return _score(small_pairs.unionByName(big_pairs))

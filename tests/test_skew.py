@@ -55,3 +55,84 @@ def test_host_partitioning_would_be_skewed(spark, pages_df):
     counts = sorted((r["count"] for r in sizes), reverse=True)
     mean = sum(counts) / 8  # count empty partitions in the mean
     assert counts[0] > 1.6 * mean  # visibly skewed
+
+
+class TestDedupHotKeyCaps:
+    """VERDICT r1 item 4: the two dedup joins must stay linear under a
+    quadratic hot key (stop-shingle / degenerate LSH bucket)."""
+
+    def test_ngram_df_cap_kills_stop_shingle(self, spark):
+        from medical_vector_database_ocr_ner_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        # 40 docs: all share ONE hot 3-gram ("the common shingle"); each
+        # also has a unique tail. Two docs (100, 101) additionally share a
+        # rare 3-gram pair and must still match exactly after the cap.
+        rows = [
+            (i, f"the common shingle unique{i} tail{i} end{i}")
+            for i in range(40)
+        ]
+        rows += [
+            (100, "the common shingle alpha beta gamma delta"),
+            (101, "the common shingle alpha beta gamma epsilon"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+
+        uncapped = ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.0, df_max=None
+        )
+        capped = ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.0, df_max=5
+        )
+        n_unc, n_cap = uncapped.count(), capped.count()
+        # hot shingle (df=42) uncapped → every doc pair is a candidate
+        assert n_unc >= 42 * 41 / 2
+        # capped: only the rare-shingle pair survives — linear, not n²
+        assert n_cap < 42
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+        assert (100, 101) in got
+        # exact jaccard over the non-stop shingles: after dropping the
+        # df=42 hot shingle, docs 100/101 keep 4 shingles each and share
+        # 3 of them → 3/(4+4-3) = 0.6
+        assert abs(got[(100, 101)] - 0.6) < 1e-9
+
+    def test_embedding_bucket_cap_star_pairs(self, spark):
+        from medical_vector_database_ocr_ner_spark.operators.dedup import (
+            embedding_cosine_dups,
+        )
+
+        # 100 identical unit vectors — one degenerate LSH bucket.
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(100)]
+        emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+        full = embedding_cosine_dups(
+            emb, threshold=0.9, n_bits=4, max_bucket=None
+        )
+        star = embedding_cosine_dups(
+            emb, threshold=0.9, n_bits=4, max_bucket=10
+        )
+        assert full.count() == 100 * 99 / 2  # quadratic without the cap
+        pairs = star.collect()
+        assert len(pairs) == 99  # linear: every member vs the representative
+        assert all(r["id_a"] == 0 for r in pairs)  # rep = min id
+        # the star still covers every member → clustering recovers the group
+        assert {r["id_b"] for r in pairs} == set(range(1, 100))
+        assert all(abs(r["cosine"] - 1.0) < 1e-6 for r in pairs)
+
+    def test_embedding_small_buckets_unchanged_by_cap(self, spark):
+        from medical_vector_database_ocr_ner_spark.operators.dedup import (
+            embedding_cosine_dups,
+        )
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        a = {(r["id_a"], r["id_b"]) for r in embedding_cosine_dups(
+            emb, threshold=0.9, n_bits=4, max_bucket=None).collect()}
+        b = {(r["id_a"], r["id_b"]) for r in embedding_cosine_dups(
+            emb, threshold=0.9, n_bits=4, max_bucket=10).collect()}
+        assert a == b == {(1, 2)}
