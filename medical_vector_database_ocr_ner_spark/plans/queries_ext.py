@@ -696,7 +696,110 @@ def q_hll_distinct_tokens(spark, sf):
     )
 
 
+# === C17 deep-structure JSON validation (quarantine) ========================
+
+# Hostile probe payloads appended to events.props in BOTH engines — same
+# Python-generated literals, so the fixtures carry invalid rows without
+# touching the parquet testdata. One single-violation probe per SQL-checkable
+# constraint class (reference middleware.py:228-301).
+JSON_PROBES: list[tuple[int, str]] = [
+    (9000001, '{"k": 1}'),                                   # clean
+    (9000002, "not json"),                                   # parse failure
+    (9000003, '{"__proto__": 1}'),                           # suspicious key
+    (9000004, '{"a": "<script>alert(1)"}'),                  # suspicious text
+    (9000005, "{" + ",".join(f'"k{i}":1' for i in range(101)) + "}"),
+    (9000006, '{"' + "k" * 101 + '": 1}'),                   # key too long
+    (9000007, '{"a": "' + "x" * 10_001 + '"}'),              # string too long
+    (9000008, '{"k": null}'),                                # clean (null ok)
+    (9000009, '{"u": "data:text/html;base64,x"}'),           # data: URI
+]
+
+_SUSPICIOUS_KEYS_SQL = (
+    "'__proto__','constructor','prototype','eval',"
+    "'function','settimeout','setinterval'"
+)
+_SUSPICIOUS_RE = "(?i)(<script|javascript:|data:|vbscript:|onload=|onerror=)"
+
+
+def q_json_metadata_quarantine(spark, sf):
+    """C17 deep-structure JSON validation, the SQL-expressible subset as a
+    per-row verdict (reference middleware.py:228-301). Declarative checks:
+    parseability, object key count ≤ 100, key length ≤ 100, suspicious key
+    names (case-insensitive), raw payload length as the string-size bound
+    (conservative: any >10000-char string value implies a >10000-char
+    payload), and the reference's XSS regex over the raw text. Bounded
+    depth / per-node numeric checks need recursion — those live in
+    functions/json_guard.py's Arrow-batched validator (full reference
+    semantics, golden-tested in pytest); this query is the cheap native
+    pre-filter a 100 TB pipeline runs on every row first."""
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("bigint").alias("id"), F.col("props").alias("js")
+    )
+    probes = spark.createDataFrame(JSON_PROBES, "id bigint, js string")
+    rows = ev.unionByName(probes)
+    checked = rows.select(
+        "id",
+        "js",
+        F.try_parse_json("js").isNotNull().alias("ok"),
+        F.json_object_keys("js").alias("ks"),
+    )
+    verdict = (
+        F.when(~F.col("ok"), F.lit("Invalid JSON format"))
+        .when(F.size("ks") > 100, F.lit("JSON object too large"))
+        .when(
+            F.expr("array_max(transform(ks, x -> length(x)))") > 100,
+            F.lit("JSON key too long"),
+        )
+        .when(
+            F.expr(f"exists(ks, x -> lower(x) IN ({_SUSPICIOUS_KEYS_SQL}))"),
+            F.lit("Suspicious JSON key"),
+        )
+        .when(F.length("js") > 10_000, F.lit("JSON string too long"))
+        .when(
+            F.expr(f"regexp_like(js, '{_SUSPICIOUS_RE}')"),
+            F.lit("JSON contains suspicious content"),
+        )
+        .otherwise(F.lit("valid"))
+    )
+    return checked.select("id", verdict.alias("verdict"))
+
+
+_PROBE_VALUES_SQL = ",\n    ".join(
+    "({}, '{}')".format(pid, js.replace("'", "''")) for pid, js in JSON_PROBES
+)
+ORACLE_JSON_QUARANTINE = f"""
+WITH rows_in AS (
+  SELECT CAST(event_id AS BIGINT) AS id, props AS js FROM events
+  UNION ALL
+  SELECT * FROM (VALUES
+    {_PROBE_VALUES_SQL}
+  ) AS probes(id, js)
+), checked AS (
+  SELECT id, js, json_valid(js) AS ok,
+         CASE WHEN json_valid(js) THEN json_keys(js) END AS ks
+  FROM rows_in
+)
+SELECT id,
+  CASE
+    WHEN NOT ok THEN 'Invalid JSON format'
+    WHEN len(ks) > 100 THEN 'JSON object too large'
+    WHEN list_max(list_transform(ks, x -> length(x))) > 100
+      THEN 'JSON key too long'
+    WHEN len(list_filter(ks, x -> lower(x) IN ({_SUSPICIOUS_KEYS_SQL}))) > 0
+      THEN 'Suspicious JSON key'
+    WHEN length(js) > 10000 THEN 'JSON string too long'
+    WHEN regexp_matches(js, '{_SUSPICIOUS_RE}')
+      THEN 'JSON contains suspicious content'
+    ELSE 'valid'
+  END AS verdict
+FROM checked
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
+    "json_metadata_quarantine": QuerySpec(
+        q_json_metadata_quarantine, ORACLE_JSON_QUARANTINE
+    ),
     "asof_last_error": QuerySpec(q_asof_last_error, ORACLE_ASOF),
     "revenue_by_nation": QuerySpec(q_revenue_by_nation, ORACLE_REVENUE_NATION),
     "value_percentiles": QuerySpec(q_value_percentiles, ORACLE_PERCENTILES),

@@ -1,0 +1,153 @@
+"""C17 deep-structure JSON validation — exact reference semantics
+(app/api/middleware.py:197-301) for every error class, first-violation DFS
+order, and the Spark quarantine split."""
+
+import json
+
+import pytest
+
+from medical_vector_database_ocr_ner_spark.functions.json_guard import (
+    validate_json_text,
+    validate_json_value,
+)
+
+
+class TestValidatorSemantics:
+    def test_valid_payloads(self):
+        for payload in (
+            '{"k": 1}',
+            '{"a": null, "b": [1, 2, {"c": "x"}]}',
+            '{"num": 1e15}',          # exactly at the bound: allowed
+            "[]",
+            "123",
+            '"plain string"',
+            "null",
+            "true",
+        ):
+            assert validate_json_text(payload) is None, payload
+
+    def test_invalid_json_format(self):
+        assert validate_json_text("not json") == "Invalid JSON format"
+        assert validate_json_text("{broken") == "Invalid JSON format"
+
+    def test_too_deep(self):
+        # depth limit 10: nodes at depth 11 reject. Root is depth 0; each
+        # nesting level +1 → 12 nested lists puts the innermost at 11.
+        ok = json.dumps(eval("[" * 10 + "1" + "]" * 10))
+        bad = json.dumps(eval("[" * 12 + "1" + "]" * 12))
+        assert validate_json_text(ok) is None
+        assert validate_json_text(bad) == "JSON structure too deep"
+
+    def test_object_too_large(self):
+        js = "{" + ",".join(f'"k{i}":1' for i in range(101)) + "}"
+        assert validate_json_text(js) == "JSON object too large"
+        js_ok = "{" + ",".join(f'"k{i}":1' for i in range(100)) + "}"
+        assert validate_json_text(js_ok) is None
+
+    def test_key_too_long(self):
+        js = '{"' + "k" * 101 + '": 1}'
+        assert validate_json_text(js) == "JSON key too long"
+
+    def test_suspicious_keys_case_insensitive(self):
+        for key in ("__proto__", "CONSTRUCTOR", "Prototype", "eval",
+                    "function", "setTimeout", "SETINTERVAL"):
+            js = json.dumps({key: 1})
+            assert validate_json_text(js) == f"Suspicious JSON key: {key}"
+
+    def test_array_too_large(self):
+        assert validate_json_text(json.dumps(list(range(1001)))) == \
+            "JSON array too large"
+        assert validate_json_text(json.dumps(list(range(1000)))) is None
+
+    def test_string_too_long(self):
+        assert validate_json_text(json.dumps({"a": "x" * 10_001})) == \
+            "JSON string too long"
+        assert validate_json_text(json.dumps({"a": "x" * 10_000})) is None
+
+    def test_suspicious_string_patterns(self):
+        for s in ("<script>alert(1)</script>", "JAVASCRIPT:void(0)",
+                  "data:text/html;base64,x", "vbscript:msgbox",
+                  "x onload=evil()", "img onerror=evil()"):
+            assert validate_json_text(json.dumps({"a": s})) == \
+                "JSON contains suspicious content", s
+
+    def test_numeric_too_large(self):
+        assert validate_json_text('{"n": 1.5e15}') == "Numeric value too large"
+        assert validate_json_text('{"n": -2000000000000000}') == \
+            "Numeric value too large"
+        # bools are not numbers for this check
+        assert validate_json_text('{"n": true}') is None
+
+    def test_body_too_large(self):
+        assert validate_json_text("[" + "1," * 6_000_000 + "1]") == \
+            "Request body too large"
+
+    def test_first_violation_dfs_order(self):
+        # dict iteration follows document order: the deep-value violation
+        # under the FIRST key fires before the suspicious SECOND key.
+        js = '{"a": {"n": 9e15}, "__proto__": 1}'
+        assert validate_json_text(js) == "Numeric value too large"
+        # size check precedes key iteration entirely
+        big = ("{" + ",".join(f'"k{i}":1' for i in range(101))
+               + ', "__proto__": 1}')
+        assert validate_json_text(big) == "JSON object too large"
+        # within one key: length check before suspicious-name check is moot
+        # (a >100-char key can't be in the suspicious set) — but key checks
+        # precede value recursion:
+        js2 = '{"eval": {"n": 9e15}}'
+        assert validate_json_text(js2) == "Suspicious JSON key: eval"
+
+    def test_none_input_skipped(self):
+        assert validate_json_text(None) is None
+
+    def test_value_level_entry_point(self):
+        assert validate_json_value({"k": [1, "ok"]}) is None
+        assert validate_json_value({1: "x"}) == "JSON keys must be strings"
+
+
+class TestQuarantineSplit:
+    def test_split(self, spark):
+        from medical_vector_database_ocr_ner_spark.functions.json_guard import (
+            split_quarantine,
+        )
+
+        rows = [
+            (1, '{"k": 1}'),
+            (2, "not json"),
+            (3, '{"__proto__": 1}'),
+            (4, None),                       # absent body: passes through
+            (5, '{"a": "<script>x"}'),
+        ]
+        df = spark.createDataFrame(rows, "id int, props string")
+        valid, quarantined = split_quarantine(df, "props")
+        assert {r["id"] for r in valid.collect()} == {1, 4}
+        got = {r["id"]: r["json_error"] for r in quarantined.collect()}
+        assert got == {
+            2: "Invalid JSON format",
+            3: "Suspicious JSON key: __proto__",
+            5: "JSON contains suspicious content",
+        }
+        assert "props" in valid.columns and "json_error" not in valid.columns
+
+    def test_quarantine_matches_plain_python(self, spark):
+        """The Arrow-batched UDF and the plain function agree row-for-row
+        (including clean rows) on a mixed fixture."""
+        from medical_vector_database_ocr_ner_spark.functions.json_guard import (
+            split_quarantine,
+        )
+
+        payloads = [
+            '{"k": %d}' % i if i % 3 else '{"bad": "javascript:x%d"}' % i
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(payloads)], "id int, props string"
+        )
+        _, quarantined = split_quarantine(df, "props")
+        got = {r["id"]: r["json_error"] for r in quarantined.collect()}
+        want = {
+            i: validate_json_text(p)
+            for i, p in enumerate(payloads)
+            if validate_json_text(p) is not None
+        }
+        assert got == want
