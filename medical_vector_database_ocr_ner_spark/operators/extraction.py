@@ -61,22 +61,24 @@ PAGE_TYPE = StructType(
 )
 
 
-def _extract_row(kind: str, html: bytes | None, reject_reason: str | None = None):
+def _extract_row(
+    kind: str, html: bytes | None, reject_reason: str | None = None, models=None
+):
     """(extracted_text, ocr_confidence, entities, status, error)."""
-    from ..core import (
-        extract_entities, extract_main_content, mean_confidence, ocr_pdf_pages,
-        word_confidence,
-    )
+    from ..core import mean_confidence, word_confidence
+    from ..core.models import DEFAULT_SEAM
 
+    if models is None:
+        models = DEFAULT_SEAM.resolve()
     if reject_reason is not None:
         return None, None, None, "failed", reject_reason
     try:
         if kind == "html":
-            text = extract_main_content(html or b"")
+            text = models.html(html or b"")
             words = text.split()
             conf = mean_confidence([word_confidence(w) for w in words])
         elif kind == "pdf":
-            pages = ocr_pdf_pages(html or b"")
+            pages = models.ocr(html or b"")
             text = "\n".join(p[0] for p in pages)
             confs = [p[1] for p in pages]
             conf = sum(confs) / len(confs) if confs else 0.0
@@ -84,58 +86,85 @@ def _extract_row(kind: str, html: bytes | None, reject_reason: str | None = None
             return None, None, None, "failed", f"unsupported payload kind: {kind}"
         if not text:
             return None, None, None, "failed", "no content extracted"
-        entities = extract_entities(text)
+        entities = models.ner(text)
         return text, float(conf), entities, "completed", None
     except Exception as exc:  # quarantine, never kill the partition
         return None, None, None, "failed", f"{type(exc).__name__}: {exc}"[:1000]
 
 
-def extract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body:
-    (url, warc_ts, lang, kind, html [, reject_reason]) → DOCUMENT_SCHEMA."""
-    for batch in batches:
-        texts, confs, ents, statuses, errors = [], [], [], [], []
-        rejects = (
-            batch["reject_reason"]
-            if "reject_reason" in batch.columns
-            else [None] * len(batch)
-        )
-        for kind, html, rej in zip(batch["kind"], batch["html"], rejects):
-            t, c, e, s, err = _extract_row(kind, html, rej)
-            texts.append(t)
-            confs.append(c)
-            ents.append(e)
-            statuses.append(s)
-            errors.append(err)
-        yield pd.DataFrame(
-            {
-                "url": batch["url"],
-                "warc_ts": batch["warc_ts"],
-                "lang": batch["lang"],
-                "kind": batch["kind"],
-                "extracted_text": texts,
-                "ocr_confidence": confs,
-                "entities": ents,
-                "status": statuses,
-                "error_message": errors,
-            }
-        )
+def make_extract_partition(seam=None):
+    """mapInPandas body factory: the ModelSeam (core/models.py) resolves
+    ONCE per partition — before the first batch — so a heavy real model
+    (tesseract / spaCy / SentenceTransformer) initializes per worker, not
+    per batch or per row."""
+
+    def extract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.models import DEFAULT_SEAM
+
+        models = (seam or DEFAULT_SEAM).resolve()
+        for batch in batches:
+            texts, confs, ents, statuses, errors = [], [], [], [], []
+            rejects = (
+                batch["reject_reason"]
+                if "reject_reason" in batch.columns
+                else [None] * len(batch)
+            )
+            for kind, html, rej in zip(batch["kind"], batch["html"], rejects):
+                t, c, e, s, err = _extract_row(kind, html, rej, models)
+                texts.append(t)
+                confs.append(c)
+                ents.append(e)
+                statuses.append(s)
+                errors.append(err)
+            yield pd.DataFrame(
+                {
+                    "url": batch["url"],
+                    "warc_ts": batch["warc_ts"],
+                    "lang": batch["lang"],
+                    "kind": batch["kind"],
+                    "extracted_text": texts,
+                    "ocr_confidence": confs,
+                    "entities": ents,
+                    "status": statuses,
+                    "error_message": errors,
+                }
+            )
+
+    return extract_partition
 
 
-@pandas_udf(ArrayType(ENTITY_TYPE))
-def ner_udf(texts: pd.Series) -> pd.Series:
-    """X3/X7 span extraction over a text column (Arrow-batched)."""
-    from ..core import extract_entities
-
-    return texts.map(lambda t: extract_entities(t) if t else [])
+# default-seam body (kept for existing callers/tests)
+extract_partition = make_extract_partition()
 
 
-@pandas_udf(ArrayType(FloatType()))
-def embed_udf(texts: pd.Series) -> pd.Series:
-    """X5 deterministic hash embedding (vectorized numpy inside)."""
-    from ..core import embed_text
+def make_ner_udf(seam=None):
+    """Seam-aware X3 span-extraction UDF: the injected NER model resolves
+    once per worker (named factory) via core/models.py."""
 
-    return texts.map(lambda t: [float(x) for x in embed_text(t or "")])
+    def _ner(texts: pd.Series) -> pd.Series:
+        from ..core.models import DEFAULT_SEAM
+
+        models = (seam or DEFAULT_SEAM).resolve()
+        return texts.map(lambda t: models.ner(t) if t else [])
+
+    return pandas_udf(ArrayType(ENTITY_TYPE))(_ner)
+
+
+def make_embed_udf(seam=None):
+    """Seam-aware X5 embedding UDF (same worker-cached resolution)."""
+
+    def _embed(texts: pd.Series) -> pd.Series:
+        from ..core.models import DEFAULT_SEAM
+
+        models = (seam or DEFAULT_SEAM).resolve()
+        return texts.map(lambda t: [float(x) for x in models.embed(t or "")])
+
+    return pandas_udf(ArrayType(FloatType()))(_embed)
+
+
+# default-seam column UDFs (kept for existing callers/tests)
+ner_udf = make_ner_udf()
+embed_udf = make_embed_udf()
 
 
 @pandas_udf(StringType())
@@ -160,9 +189,14 @@ def pdf_pages_udf(payloads: pd.Series) -> pd.Series:
 
 
 def extract_documents(
-    pages: "DataFrame", num_partitions: int | None = None, salt_repartition: bool = True
+    pages: "DataFrame", num_partitions: int | None = None,
+    salt_repartition: bool = True, models=None,
 ) -> "DataFrame":
     """Full extraction DAG: pages → documents (FIXTURES.md §2 schema).
+
+    ``models``: an optional core.models.ModelSeam swapping the real
+    OCR/NER/HTML models into the mapInPandas stage (factories initialize
+    once per worker — see core/models.py for the tesseract/spaCy drop-in).
 
     Stage order is deliberate (SURVEY.md §4.2), and the whole DAG is ONE
     scan of the input (a quarantine-side union would scan twice — 2× IO at
@@ -214,7 +248,9 @@ def extract_documents(
         # partitions empty and others doubled — measured in tests/test_skew.)
         routed = routed.repartition(num_partitions, F.col("url"))
 
-    docs = routed.mapInPandas(extract_partition, schema=DOCUMENT_SCHEMA)
+    docs = routed.mapInPandas(
+        make_extract_partition(models), schema=DOCUMENT_SCHEMA
+    )
 
     return docs.select(
         "url",

@@ -1,0 +1,147 @@
+"""Real-model injection seam (VERDICT r1 item 6): swapping a heavy model
+into the Arrow-batched stages must initialize it once per partition (local
+factories) / once per worker (named factories) — never per batch or row."""
+
+import functools
+
+from pyspark.sql import functions as F
+
+
+def _make_counting_ner_factory(path):
+    """Builds a CLOSURE factory (cloudpickle ships closures by value, so
+    workers need no importable test module). The factory stands in for a
+    heavy model load (spaCy/HF): records each initialization, then returns
+    a fast fake NER callable. Being a closure it has no stable qualified
+    name → the seam resolves it per partition, which is what we count."""
+
+    def factory():
+        with open(path, "a") as f:
+            f.write("init\n")
+
+        def fake_ner(text):
+            return [{
+                "text": "FAKE", "entity_type": "FAKE",
+                "start": 0, "end": 4, "confidence": 1.0,
+            }]
+
+        return fake_ner
+
+    return factory
+
+
+def _named_factory():
+    _named_factory.calls = getattr(_named_factory, "calls", 0) + 1
+    return lambda text: []
+
+
+class TestResolveCaching:
+    def test_named_factory_cached_per_process(self):
+        from medical_vector_database_ocr_ner_spark.core.models import (
+            _WORKER_CACHE, resolve_factory,
+        )
+
+        _WORKER_CACHE.clear()
+        _named_factory.calls = 0
+        a = resolve_factory(_named_factory, None)
+        b = resolve_factory(_named_factory, None)
+        assert a is b
+        assert _named_factory.calls == 1
+
+    def test_unnamed_factory_not_worker_cached(self):
+        from medical_vector_database_ocr_ner_spark.core.models import (
+            _cache_key,
+        )
+
+        assert _cache_key(lambda: None) is None
+        assert _cache_key(functools.partial(_named_factory)) is None
+        assert _cache_key(_make_counting_ner_factory("x")) is None  # closure
+        assert _cache_key(_named_factory) is not None
+
+    def test_none_gives_default(self):
+        from medical_vector_database_ocr_ner_spark.core import extract_entities
+        from medical_vector_database_ocr_ner_spark.core.models import (
+            resolve_factory,
+        )
+
+        assert resolve_factory(None, extract_entities) is extract_entities
+
+
+class TestSeamInExtraction:
+    def test_fake_model_once_per_partition(self, spark, tmp_path):
+        from medical_vector_database_ocr_ner_spark.core.models import ModelSeam
+        from medical_vector_database_ocr_ner_spark.operators.extraction import (
+            extract_documents,
+        )
+
+        marker = tmp_path / "inits.log"
+        seam = ModelSeam(ner_factory=_make_counting_ner_factory(str(marker)))
+        rows = [
+            (f"https://h{i}.example/p", None,
+             f"<html><body><p>patient text number {i} with enough words to "
+             f"pass the extractor threshold for real</p></body></html>".encode(),
+             "en")
+            for i in range(40)
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, lang string"
+        )
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+        try:
+            docs = extract_documents(
+                pages, num_partitions=2, models=seam
+            ).collect()
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+        ok = [r for r in docs if r["status"] == "completed"]
+        assert len(ok) == 40
+        # the injected model actually ran (every row got the fake span)
+        assert all(
+            e["entity_type"] == "FAKE" for r in ok for e in r["entities"]
+        )
+        # heavy init once per PARTITION (2), not per batch (40/5=8 per the
+        # forced Arrow batch size) and not per row (40)
+        inits = marker.read_text().count("init")
+        assert inits == 2, f"expected 2 partition inits, saw {inits}"
+
+    def test_seam_embed_udf(self, spark):
+        from medical_vector_database_ocr_ner_spark.core.models import ModelSeam
+        from medical_vector_database_ocr_ner_spark.operators.extraction import (
+            make_embed_udf,
+        )
+
+        def embed_factory():
+            return lambda t: [float(len(t))]
+
+        seam = ModelSeam(embed_factory=embed_factory)
+        df = spark.createDataFrame([("abc",), ("de",)], "t string")
+        out = df.select(make_embed_udf(seam)(F.col("t")).alias("v")).collect()
+        assert [r["v"] for r in out] == [[3.0], [2.0]]
+
+    def test_default_seam_unchanged(self, spark):
+        """No seam → identical output to the pre-seam golden behavior."""
+        from medical_vector_database_ocr_ner_spark.core import (
+            extract_entities, extract_main_content,
+        )
+        from medical_vector_database_ocr_ner_spark.operators.extraction import (
+            extract_documents,
+        )
+
+        html = (b"<html><body><p>Patient was given 500 mg aspirin on "
+                b"2023-05-01 by the attending physician.</p></body></html>")
+        pages = spark.createDataFrame(
+            [("https://x.example/p", None, html, "en")],
+            "url string, warc_ts timestamp, html binary, lang string",
+        )
+        row = extract_documents(pages, salt_repartition=False).collect()[0]
+        want_text = extract_main_content(html)
+        assert row["extracted_text"] == want_text
+        want_ents = extract_entities(want_text)
+        got_ents = [
+            {"text": e["text"], "entity_type": e["entity_type"],
+             "start": e["start"], "end": e["end"],
+             "confidence": e["confidence"]}
+            for e in row["entities"]
+        ]
+        assert got_ents == want_ents
