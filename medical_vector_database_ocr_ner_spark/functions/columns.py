@@ -178,3 +178,21 @@ def url_salt_col(url: Column, num_buckets: int) -> Column:
     hosts are heavily skewed, so we shuffle on a uniform hash of the FULL
     url, never on host."""
     return F.pmod(F.xxhash64(url), F.lit(num_buckets))
+
+
+def format_file_size_col(size_bytes: Column) -> Column:
+    """C11 human-readable file size (reference file_utils.py:188-206):
+    '0B' for zero, else repeated /1024 up to TB with one decimal — as a
+    native CASE ladder (no loop needed: the unit is just the magnitude
+    bracket). Matches the reference byte-for-byte on integer inputs; both
+    engines format binary-exact quotients, so no rounding divergence."""
+    b = size_bytes.cast("double")
+    kib, mib, gib, tib = 1024.0, 1024.0**2, 1024.0**3, 1024.0**4
+    return (
+        F.when(size_bytes == 0, F.lit("0B"))
+        .when(b < kib, F.format_string("%.1fB", b))
+        .when(b < mib, F.format_string("%.1fKB", b / kib))
+        .when(b < gib, F.format_string("%.1fMB", b / mib))
+        .when(b < tib, F.format_string("%.1fGB", b / gib))
+        .otherwise(F.format_string("%.1fTB", b / tib))
+    )

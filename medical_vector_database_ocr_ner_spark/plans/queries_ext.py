@@ -696,6 +696,41 @@ def q_hll_distinct_tokens(spark, sf):
     )
 
 
+# === C11 human-readable file size ===========================================
+
+def q_file_size_format(spark, sf):
+    """C11 format_file_size (reference file_utils.py:188-206) as a native
+    CASE ladder, exercised across B/KB/MB/GB brackets by synthesizing
+    sizes from n_chars (quotients are dyadic rationals far from the .x5
+    formatting tie, so Java HALF_UP and C printf agree byte-for-byte)."""
+    from ..functions.columns import format_file_size_col
+
+    docs = _t(spark, sf, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.col("n_chars").cast("bigint") * 1_048_576 + F.col("doc_id"))
+        .alias("sz"),
+    )
+    return sized.select(
+        "doc_id", format_file_size_col(F.col("sz")).alias("human")
+    )
+
+
+ORACLE_FILE_SIZE = """
+SELECT doc_id,
+  CASE
+    WHEN sz = 0 THEN '0B'
+    WHEN sz < 1024 THEN printf('%.1fB', CAST(sz AS DOUBLE))
+    WHEN sz < 1048576 THEN printf('%.1fKB', sz / 1024.0)
+    WHEN sz < 1073741824 THEN printf('%.1fMB', sz / 1048576.0)
+    WHEN sz < 1099511627776 THEN printf('%.1fGB', sz / 1073741824.0)
+    ELSE printf('%.1fTB', sz / 1099511627776.0)
+  END AS human
+FROM (SELECT doc_id, CAST(n_chars AS BIGINT) * 1048576 + doc_id AS sz
+      FROM documents)
+"""
+
+
 # === C17 deep-structure JSON validation (quarantine) ========================
 
 # Hostile probe payloads appended to events.props in BOTH engines — same
@@ -800,6 +835,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "json_metadata_quarantine": QuerySpec(
         q_json_metadata_quarantine, ORACLE_JSON_QUARANTINE
     ),
+    "file_size_format": QuerySpec(q_file_size_format, ORACLE_FILE_SIZE),
     "asof_last_error": QuerySpec(q_asof_last_error, ORACLE_ASOF),
     "revenue_by_nation": QuerySpec(q_revenue_by_nation, ORACLE_REVENUE_NATION),
     "value_percentiles": QuerySpec(q_value_percentiles, ORACLE_PERCENTILES),

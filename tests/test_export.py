@@ -1,0 +1,94 @@
+"""C11 format_file_size parity with the reference algorithm, and the S10
+XML export sink (escaping, null omission, well-formedness, single-file)."""
+
+import glob
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import functions as F
+
+
+def _reference_format_file_size(size_bytes):
+    """Verbatim reimplementation of reference file_utils.py:188-206 used
+    as the oracle for the column expression."""
+    if size_bytes == 0:
+        return "0B"
+    size_names = ["B", "KB", "MB", "GB", "TB"]
+    i = 0
+    while size_bytes >= 1024 and i < len(size_names) - 1:
+        size_bytes /= 1024.0
+        i += 1
+    return f"{size_bytes:.1f}{size_names[i]}"
+
+
+class TestFormatFileSize:
+    def test_matches_reference_values(self, spark):
+        from medical_vector_database_ocr_ner_spark.functions.columns import (
+            format_file_size_col,
+        )
+
+        sizes = [0, 1, 500, 1023, 1024, 1536, 10_000, 1024**2,
+                 5 * 1024**2 + 123, 1024**3, 1024**4, 5 * 10**12,
+                 1024**5, 123_456_789_012_345]
+        df = spark.createDataFrame([(s,) for s in sizes], "size bigint")
+        got = {
+            r["size"]: r["fmt"]
+            for r in df.select(
+                "size", format_file_size_col(F.col("size")).alias("fmt")
+            ).collect()
+        }
+        for s in sizes:
+            assert got[s] == _reference_format_file_size(s), s
+
+    def test_tb_is_the_cap(self, spark):
+        from medical_vector_database_ocr_ner_spark.functions.columns import (
+            format_file_size_col,
+        )
+
+        df = spark.createDataFrame([(1024**5 * 3,)], "size bigint")
+        val = df.select(format_file_size_col(F.col("size")).alias("f")).first()["f"]
+        assert val.endswith("TB") and val == "3072.0TB"
+
+
+class TestXmlExport:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "plain text", "en"),
+                (2, 'needs <escaping> & "quotes" \'too\'', "de"),
+                (3, None, "fr"),  # null column omitted
+            ],
+            "doc_id int, text string, lang string",
+        )
+
+    def test_xml_lines_roundtrip(self, spark, tmp_path):
+        from medical_vector_database_ocr_ner_spark.sources.export import write_xml
+
+        out = str(tmp_path / "xml")
+        write_xml(self._df(spark), out)
+        lines = []
+        for p in glob.glob(f"{out}/part-*"):
+            with open(p) as f:
+                lines += [ln for ln in f.read().splitlines() if ln]
+        assert len(lines) == 3
+        by_id = {}
+        for ln in lines:
+            el = ET.fromstring(ln)  # each line parses standalone
+            assert el.tag == "document"
+            by_id[int(el.findtext("doc_id"))] = el
+        assert by_id[2].findtext("text") == \
+            'needs <escaping> & "quotes" \'too\''
+        assert by_id[3].find("text") is None  # null omitted
+        assert by_id[3].findtext("lang") == "fr"
+
+    def test_single_file_well_formed(self, spark, tmp_path):
+        from medical_vector_database_ocr_ner_spark.sources.export import write_xml
+
+        out = str(tmp_path / "one")
+        write_xml(self._df(spark), out, single_file=True)
+        parts = glob.glob(f"{out}/part-*")
+        assert len(parts) == 1
+        with open(parts[0]) as f:
+            doc = f.read()
+        root = ET.fromstring(doc)
+        assert root.tag == "documents"
+        assert len(root.findall("document")) == 3
