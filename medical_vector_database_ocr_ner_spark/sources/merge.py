@@ -148,11 +148,17 @@ def _swap_bucket(bucket_dir: str, tmp_dir: str) -> None:
     """Two-rename swap: old→aside, tmp→live, then delete aside. Each
     rename is atomic; a crash between them leaves the bucket briefly
     missing from the glob but BOTH copies intact on disk (recover by
-    renaming either back). Directories cannot be swapped atomically on a
-    POSIX filesystem — the production layout (Iceberg) swaps a metadata
-    pointer instead, which is why SCALE.md maps this table to Iceberg."""
+    renaming either back). The aside name is DOT-prefixed (same '.'
+    convention as the staged copy) so read_merge_table's 'bucket=*' glob
+    can never see old and new at once — a crash after the second rename,
+    or a concurrent reader mid-swap, observes exactly one copy, never
+    duplicate rows (ADVICE r1). Directories cannot be swapped atomically
+    on a POSIX filesystem — the production layout (Iceberg) swaps a
+    metadata pointer instead, which is why SCALE.md maps this table to
+    Iceberg."""
     if os.path.isdir(bucket_dir):
-        aside = bucket_dir + f".old-{uuid.uuid4().hex}"
+        parent, name = os.path.split(bucket_dir)
+        aside = os.path.join(parent, f".old-{name}-{uuid.uuid4().hex}")
         os.rename(bucket_dir, aside)
         os.rename(tmp_dir, bucket_dir)
         shutil.rmtree(aside)

@@ -74,25 +74,28 @@ def _make_sessionize(use_timeout: bool):
             for pdf in batches:
                 ts_us = pdf["ts"].astype("int64") // 1000
                 rows.extend(zip(ts_us, pdf["value"]))
-            rows.sort()
-            for t, v in rows:
-                t, v = int(t), float(v)
+            # Exact gap-split over EVERYTHING visible this batch: each event
+            # as a point interval plus the recovered open session as a real
+            # interval, swept in start order. This is the same split the
+            # lag-based batch analog (q_user_sessions) produces, so replay/
+            # backfill with stragglers — including several old events that
+            # are within the gap of each other but all older than the
+            # recovered session (the round-1 divergence) — close as ONE
+            # merged session, never one-session-per-event.
+            intervals = [(int(t), int(t), 1, float(v)) for t, v in sorted(rows)]
+            if cur is not None:
+                intervals.append(cur)
+                intervals.sort(key=lambda iv: (iv[0], iv[1]))
+            cur = None
+            for iv in intervals:
                 if cur is None:
-                    cur = (t, t, 1, v)
-                elif t - cur[1] > gap_us:
-                    closed.append(cur)
-                    cur = (t, t, 1, v)
-                elif cur[0] - t > gap_us:
-                    # cross-batch straggler OLDER than the open session by
-                    # more than the gap: it is its own, already-bounded
-                    # session (something ≥gap later exists) — close it now
-                    # without corrupting the open session's boundaries
-                    closed.append((t, t, 1, v))
+                    cur = iv
+                elif iv[0] - cur[1] <= gap_us:
+                    cur = (cur[0], max(cur[1], iv[1]),
+                           cur[2] + iv[2], cur[3] + iv[3])
                 else:
-                    # merge; min/max guard cross-batch disorder so
-                    # start/last never move the wrong way
-                    cur = (min(cur[0], t), max(cur[1], t),
-                           cur[2] + 1, cur[3] + v)
+                    closed.append(cur)
+                    cur = iv
             if cur is not None:
                 state.update(cur)
                 if use_timeout:

@@ -732,3 +732,33 @@ class TestHostilePagesSparkPath:
             assert "\x00" not in text
             for e in r["entities"]:
                 assert text[e["start"]:e["end"]] == e["text"], r["url"]
+
+
+class TestMergeSwapAside:
+    def test_crashed_swap_aside_invisible_to_readers(self, spark, tmp_path):
+        """ADVICE r1: a crash between the second rename and the aside
+        rmtree must not surface duplicate rows — the dot-prefixed aside
+        name falls outside read_merge_table's 'bucket=*' glob."""
+        import shutil
+
+        from medical_vector_database_ocr_ner_spark.sources.merge import (
+            read_merge_table, write_merge_table,
+        )
+
+        path = str(tmp_path / "mt")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(50)], "key int, val string"
+        )
+        write_merge_table(df, path, "key", n_buckets=4)
+        before = read_merge_table(spark, path).count()
+        assert before == 50
+
+        # simulate the crash window: old bucket copy left aside on disk
+        import os
+
+        bucket = next(d for d in os.listdir(path) if d.startswith("bucket="))
+        shutil.copytree(
+            os.path.join(path, bucket),
+            os.path.join(path, f".old-{bucket}-deadbeef"),
+        )
+        assert read_merge_table(spark, path).count() == 50  # no duplicates

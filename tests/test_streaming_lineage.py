@@ -343,3 +343,80 @@ class TestSessionTimeoutBranch:
         fn = _make_sessionize(use_timeout=True)
         out = list(fn((7,), iter([]), EmptyState()))
         assert len(out[0]) == 0
+
+
+class TestStragglerSessions:
+    """ADVICE r1: several stragglers older than the recovered session but
+    within the gap of EACH OTHER must close as one merged session (the
+    lag-based batch analog), not one session per event."""
+
+    class Stub:
+        def __init__(self, value):
+            self._v = value
+            self.updated = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        hasTimedOut = False
+
+        def update(self, v):
+            self.updated = v
+
+        def remove(self):
+            raise AssertionError("must not remove on a data batch")
+
+    @staticmethod
+    def _batch(ts_us_values):
+        import pandas as pd
+
+        return iter([pd.DataFrame({
+            "ts": pd.to_datetime([t * 1000 for t in ts_us_values]),
+            "value": [float(i + 2) for i in range(len(ts_us_values))],
+        })])
+
+    T0 = 1_700_000_000_000_000
+    MIN = 60 * 10**6
+
+    def test_two_stragglers_merge_into_one_session(self):
+        from medical_vector_database_ocr_ner_spark.streaming.sessions import (
+            _make_sessionize,
+        )
+
+        fn = _make_sessionize(use_timeout=False)
+        state = self.Stub((self.T0 + 100 * self.MIN,
+                           self.T0 + 100 * self.MIN, 1, 1.0))
+        out = list(fn((7,), self._batch(
+            [self.T0, self.T0 + 5 * self.MIN]), state))
+        closed = out[0]
+        assert len(closed) == 1  # ONE 2-event session, not two singletons
+        row = closed.iloc[0]
+        assert row["n_events"] == 2 and row["sum_value"] == 5.0
+        assert (row["session_end"] - row["session_start"]).total_seconds() \
+            == 300
+        # open 100-min session untouched
+        assert state.updated == (self.T0 + 100 * self.MIN,
+                                 self.T0 + 100 * self.MIN, 1, 1.0)
+
+    def test_straggler_within_gap_of_open_session_extends_it(self):
+        from medical_vector_database_ocr_ner_spark.streaming.sessions import (
+            _make_sessionize,
+        )
+
+        fn = _make_sessionize(use_timeout=False)
+        state = self.Stub((self.T0 + 100 * self.MIN,
+                           self.T0 + 100 * self.MIN, 1, 1.0))
+        # 0 and 5min merge and close; 75min is within the 30-min gap of the
+        # open session's start → extends it downward (batch-analog split)
+        out = list(fn((7,), self._batch(
+            [self.T0, self.T0 + 5 * self.MIN, self.T0 + 75 * self.MIN]),
+            state))
+        closed = out[0]
+        assert len(closed) == 1 and closed.iloc[0]["n_events"] == 2
+        assert state.updated == (self.T0 + 75 * self.MIN,
+                                 self.T0 + 100 * self.MIN, 2, 5.0)
