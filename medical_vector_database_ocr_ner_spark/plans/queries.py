@@ -503,6 +503,55 @@ FROM embeddings
 """
 
 
+# 0.5 and 127.0 as DOUBLE literals via cast: Spark parses bare decimal
+# literals as DECIMAL, and bigint/DECIMAL division rounds at decimal
+# scale — diverging from DuckDB's double division in the 7th digit.
+_DEQ = ("greatest(least(floor(cast(x as double)*127 + cast(0.5 as double)), "
+        "127), -127)")
+
+
+def q_embedding_quantize(spark, sf):
+    """Int8 scalar quantization audit — the storage-scale path for a
+    10^12-row vector table (4 bytes→1 byte per dim): symmetric q =
+    clamp(floor(x*127+0.5), ±127), reporting per-vector quant range,
+    saturation count, and L2 reconstruction error. All JVM-side
+    higher-order functions; floor(x+0.5) is tie-free across engines
+    (no banker's rounding), and the dequantized value is derived
+    pointwise from x so both engines sum identical terms in identical
+    order."""
+    emb = _t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(f"cast(array_max(transform(embedding, x -> {_DEQ})) as int)")
+        .alias("max_q"),
+        F.expr(f"cast(array_min(transform(embedding, x -> {_DEQ})) as int)")
+        .alias("min_q"),
+        F.expr(
+            "size(filter(embedding, x -> "
+            "floor(cast(x as double)*127 + 0.5) > 127 OR "
+            "floor(cast(x as double)*127 + 0.5) < -127))"
+        ).alias("n_saturated"),
+        F.expr(
+            f"round(sqrt(aggregate(transform(embedding, x -> "
+            f"pow(cast(x as double) - {_DEQ}/cast(127 as double), 2)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)), 6)"
+        ).alias("recon_err"),
+    )
+
+
+ORACLE_QUANTIZE = f"""
+SELECT vec_id,
+       CAST(list_max(list_transform(embedding, x -> {_DEQ})) AS INT) AS max_q,
+       CAST(list_min(list_transform(embedding, x -> {_DEQ})) AS INT) AS min_q,
+       CAST(len(list_filter(embedding, x ->
+            floor(CAST(x AS DOUBLE)*127 + 0.5) > 127 OR
+            floor(CAST(x AS DOUBLE)*127 + 0.5) < -127)) AS INT) AS n_saturated,
+       round(sqrt(list_sum(list_transform(embedding, x ->
+            pow(CAST(x AS DOUBLE) - {_DEQ}/cast(127 as double), 2)))), 6) AS recon_err
+FROM embeddings
+"""
+
+
 def q_ann_topk_cosine(spark, sf):
     """J5+T2: brute-force top-10 by dot product against the vec_id=0 vector
     (broadcast one-row query side; distributed TakeOrderedAndProject)."""
@@ -1123,6 +1172,7 @@ QUERIES: dict[str, QuerySpec] = {
     "union_dedup_priority": QuerySpec(q_union_dedup_priority, ORACLE_UNION_DEDUP),
     "rollup_event_stats": QuerySpec(q_rollup_event_stats, ORACLE_ROLLUP),
     "embedding_near_dups": QuerySpec(q_embedding_near_dups, ORACLE_NEAR_DUPS),
+    "embedding_quantize": QuerySpec(q_embedding_quantize, ORACLE_QUANTIZE),
     "ivf_topk": QuerySpec(q_ivf_topk, None,
                           "ANN recall asserted vs brute force in pytest"),
     # UDF-backed pipeline queries: no SQL oracle (golden-tested in pytest)

@@ -360,3 +360,21 @@ class TestMultimodal:
         assert len(frames) == 5  # 5120 bytes → 5 frames
         assert [f["frame_idx"] for f in frames] == list(range(5))
         assert all(len(f["frame"]) == 64 for f in frames)
+
+
+class TestEmbeddingQuantize:
+    def test_int8_quantization_quality(self, spark, sf001_dir):
+        """Int8 scalar quantization keeps unit vectors recoverable: range
+        within ±127, no saturation on unit-norm input, reconstruction
+        error far below near-dup cosine thresholds."""
+        from medical_vector_database_ocr_ner_spark.plans.queries import (
+            q_embedding_quantize,
+        )
+
+        rows = q_embedding_quantize(spark, sf001_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert -127 <= r["min_q"] <= r["max_q"] <= 127
+            assert r["n_saturated"] == 0
+            # per-dim max error 0.5/127 → L2 bound sqrt(384)*0.5/127 ≈ 0.077
+            assert 0.0 <= r["recon_err"] < 0.08
