@@ -696,6 +696,73 @@ def q_hll_distinct_tokens(spark, sf):
     )
 
 
+# === ordered-sequence funnel ================================================
+
+def q_event_funnel(spark, sf):
+    """Ordered conversion funnel view→click→purchase: each stage's
+    timestamp must be at-or-after the previous stage's first timestamp.
+    Three keyed aggregations over filtered subsets (every shuffle on
+    user_id, partial aggregation map-side; no windows, no event lists in
+    state — the unbounded-cardinality-safe funnel shape at 10^12 events)."""
+    ev = _t(spark, sf, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+    )
+    return funnel.agg(
+        F.count("t_view").alias("n_viewers"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
+        F.round(
+            F.avg(
+                F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+            ), 2,
+        ).alias("avg_view_to_purchase_sec"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH views AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), clicks AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), purchases AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT count(v.t_view) AS n_viewers,
+       count(c.t_click) AS n_clicked,
+       count(p.t_purchase) AS n_purchased,
+       round(avg(date_diff('second', v.t_view, p.t_purchase)), 2)
+         AS avg_view_to_purchase_sec
+FROM views v
+LEFT JOIN clicks c ON c.user_id = v.user_id
+LEFT JOIN purchases p ON p.user_id = v.user_id
+"""
+
+
 # === C11 human-readable file size ===========================================
 
 def q_file_size_format(spark, sf):
@@ -836,6 +903,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
         q_json_metadata_quarantine, ORACLE_JSON_QUARANTINE
     ),
     "file_size_format": QuerySpec(q_file_size_format, ORACLE_FILE_SIZE),
+    "event_funnel": QuerySpec(q_event_funnel, ORACLE_FUNNEL),
     "asof_last_error": QuerySpec(q_asof_last_error, ORACLE_ASOF),
     "revenue_by_nation": QuerySpec(q_revenue_by_nation, ORACLE_REVENUE_NATION),
     "value_percentiles": QuerySpec(q_value_percentiles, ORACLE_PERCENTILES),
