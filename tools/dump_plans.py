@@ -41,8 +41,21 @@ SELECTED = [
      "iterative CC joins operate on localCheckpoint'd tiny frames."),
     ("ann_batch_topk",
      "BroadcastNestedLoopJoin of the tiny query batch against the "
-     "embeddings scan (a deliberate broadcast cross join), then one window "
-     "rank per query id."),
+     "embeddings scan (a deliberate broadcast cross join), then TWO window "
+     "ranks: the first keyed (query_id, _pid) — per-input-partition "
+     "pre-top-k, so no reducer ever holds a query's full corpus scores — "
+     "the second the final per-query rank over n_partitions × k rows."),
+    ("ivf_topk",
+     "IVF centroid assignment as a BroadcastNestedLoopJoin against a "
+     "1-row centroid relation (codebook as broadcast DATA — plan size "
+     "stays O(1) at any n_centroids × dim), argmax via transform + "
+     "array_max; probe filter on centroid_id prunes the candidate set "
+     "(parquet partition pruning once materialize() lays the index out "
+     "by centroid)."),
+    ("event_funnel",
+     "Three stage aggregations all exchanged on user_id with partial "
+     "aggregation map-side; event_type filters pushed into each scan "
+     "(PushedFilters) — no windows, no per-user state lists."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

@@ -67,11 +67,29 @@ def main() -> None:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     pairs = [tuple(map(int, p.split(","))) for p in sys.argv[3:]] or [(4, 16), (8, 32)]
 
-    levels: dict[int, dict] = {}
+    # INTERLEAVED rounds (round-2 noise protocol): on a shared host, a
+    # level measured in one contiguous block inherits whatever co-tenant
+    # load existed during ITS minutes — ratios between blocks then measure
+    # the neighbors, not the framework. Each round instead runs every
+    # level back-to-back (1 in-process repeat, fresh JVM each sample) and
+    # the per-level best-of-rounds is taken, so the compared numbers come
+    # from adjacent time windows.
+    order: list[int] = []
     for lo, hi in pairs:
         for c in (lo, hi):
-            if c not in levels:
-                levels[c] = run_level(c, n_pages, repeats)
+            if c not in order:
+                order.append(c)
+    samples: dict[int, list[dict]] = {c: [] for c in order}
+    for _ in range(repeats):
+        for c in order:
+            samples[c].append(run_level(c, n_pages, 1))
+    levels = {
+        c: max(samples[c], key=lambda s: s["docs_per_sec"]) for c in order
+    }
+    for c in order:
+        levels[c]["all_docs_per_sec"] = [
+            s["docs_per_sec"] for s in samples[c]
+        ]
 
     result = {"n_pages": n_pages,
               "levels": {str(c): levels[c] for c in sorted(levels)},
