@@ -92,11 +92,20 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def image_features(media) :
+def image_features(media, decoder_factory=None):
     """mapInPandas image decode/feature stage: payload bytes cross Arrow
-    once, per-row failures quarantine into the error column."""
+    once, per-row failures quarantine into the error column.
+
+    ``decoder_factory``: optional zero-arg factory returning a
+    ``bytes -> {"width","height","channels"}`` callable — the real-codec
+    seam (e.g. a factory that imports PIL/torchvision once). Resolved via
+    core/models.py: once per worker for module-level factories, once per
+    partition otherwise; default keeps the built-in header/PIL decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.models import resolve_factory
+
+        decode = resolve_factory(decoder_factory, _decode_image)
         for batch in batches:
             out = {k: [] for k in ("media_id", "width", "height", "channels",
                                    "n_bytes", "error")}
@@ -104,7 +113,7 @@ def image_features(media) :
                 out["media_id"].append(mid)
                 out["n_bytes"].append(len(payload or b""))
                 try:
-                    f = _decode_image(payload or b"")
+                    f = decode(payload or b"")
                     out["width"].append(f["width"])
                     out["height"].append(f["height"])
                     out["channels"].append(f["channels"])
@@ -170,15 +179,22 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def audio_features(media):
+def audio_features(media, decoder_factory=None):
+    """Same real-codec seam as image_features: ``decoder_factory() ->
+    (bytes -> {"sample_rate","n_samples","duration_s"})``, e.g. a factory
+    importing soundfile/librosa once per worker."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.models import resolve_factory
+
+        decode = resolve_factory(decoder_factory, _decode_audio)
         for batch in batches:
             out = {k: [] for k in
                    ("media_id", "sample_rate", "n_samples", "duration_s", "error")}
             for mid, payload in zip(batch["media_id"], batch["payload"]):
                 out["media_id"].append(mid)
                 try:
-                    f = _decode_audio(payload or b"")
+                    f = decode(payload or b"")
                     out["sample_rate"].append(f["sample_rate"])
                     out["n_samples"].append(f["n_samples"])
                     out["duration_s"].append(float(f["duration_s"]))

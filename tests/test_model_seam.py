@@ -145,3 +145,33 @@ class TestSeamInExtraction:
             for e in row["entities"]
         ]
         assert got_ents == want_ents
+
+
+class TestMultimodalDecoderSeam:
+    def test_custom_image_decoder(self, spark):
+        """Real-codec seam on the multimodal stage: a swapped decoder runs
+        instead of the built-in, same quarantine contract."""
+        from medical_vector_database_ocr_ner_spark.operators.multimodal import (
+            fake_image_bytes, image_features,
+        )
+
+        def decoder_factory():
+            def decode(payload):
+                if not payload.startswith(b"CUST"):
+                    raise NotImplementedError("not my format")
+                return {"width": 11, "height": 22, "channels": 1}
+            return decode
+
+        rows = [
+            ("a", "image", b"CUST" + b"\x00" * 16, ("u", None)),
+            ("b", "image", fake_image_bytes(4, 4), ("u", None)),  # rejected now
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id string, kind string, payload binary, "
+            "meta struct<source_url: string, fetched_at: timestamp>",
+        )
+        got = {r["media_id"]: r for r in
+               image_features(media, decoder_factory).collect()}
+        assert got["a"]["width"] == 11 and got["a"]["error"] is None
+        assert got["b"]["width"] is None and "not my format" in got["b"]["error"]
