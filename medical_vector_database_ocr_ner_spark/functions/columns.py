@@ -184,15 +184,23 @@ def format_file_size_col(size_bytes: Column) -> Column:
     """C11 human-readable file size (reference file_utils.py:188-206):
     '0B' for zero, else repeated /1024 up to TB with one decimal — as a
     native CASE ladder (no loop needed: the unit is just the magnitude
-    bracket). Matches the reference byte-for-byte on integer inputs; both
-    engines format binary-exact quotients, so no rounding divergence."""
+    bracket). Rounding: Python's f'{x:.1f}' (the reference) and C printf
+    round exact dyadic ties half-to-EVEN (2.25 KiB → '2.2KB'), while
+    Java's %.1f alone rounds HALF_UP — so the value is bround()-ed
+    (banker's rounding) to 1 decimal FIRST and %.1f then only formats an
+    already-rounded value. Byte-for-byte with the reference on all
+    integer inputs, ties included."""
     b = size_bytes.cast("double")
     kib, mib, gib, tib = 1024.0, 1024.0**2, 1024.0**3, 1024.0**4
+
+    def fmt(value, unit):
+        return F.format_string(f"%.1f{unit}", F.bround(value, 1))
+
     return (
         F.when(size_bytes == 0, F.lit("0B"))
-        .when(b < kib, F.format_string("%.1fB", b))
-        .when(b < mib, F.format_string("%.1fKB", b / kib))
-        .when(b < gib, F.format_string("%.1fMB", b / mib))
-        .when(b < tib, F.format_string("%.1fGB", b / gib))
-        .otherwise(F.format_string("%.1fTB", b / tib))
+        .when(b < kib, fmt(b, "B"))
+        .when(b < mib, fmt(b / kib, "KB"))
+        .when(b < gib, fmt(b / mib, "MB"))
+        .when(b < tib, fmt(b / gib, "GB"))
+        .otherwise(fmt(b / tib, "TB"))
     )

@@ -129,16 +129,23 @@ def json_violation_udf(texts: pd.Series) -> pd.Series:
 
 
 def split_quarantine(
-    df: "DataFrame", json_col: str, error_col: str = "json_error"
+    df: "DataFrame", json_col: str, error_col: str = "json_error",
+    cache: bool = False,
 ) -> tuple["DataFrame", "DataFrame"]:
-    """(valid_rows, quarantined_rows): one verdict pass, two filters.
+    """(valid_rows, quarantined_rows): one judged plan, two filters.
 
-    The verdict column is computed once per row inside the Arrow batch;
-    Spark's plan reuse (or an explicit .cache() by the caller for
-    multi-action pipelines) keeps this a single scan. Quarantined rows
-    carry the reference's exact error string in ``error_col``.
+    Spark has NO cross-action plan reuse: if the caller runs separate
+    actions on both outputs (write valid, write quarantine), the
+    validation UDF re-executes for each — 2× the Python-worker cost at
+    100 TB. Pass ``cache=True`` to persist the judged frame (caller
+    should unpersist via judged's storage when done), or consume both
+    outputs from a single action (e.g. partitionBy(error IS NULL)
+    write). Quarantined rows carry the reference's exact error string in
+    ``error_col``.
     """
     judged = df.withColumn(error_col, json_violation_udf(F.col(json_col)))
+    if cache:
+        judged = judged.cache()
     valid = judged.where(F.col(error_col).isNull()).drop(error_col)
     quarantined = judged.where(F.col(error_col).isNotNull())
     return valid, quarantined

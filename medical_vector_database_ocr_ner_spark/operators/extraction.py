@@ -138,25 +138,35 @@ extract_partition = make_extract_partition()
 
 
 def make_ner_udf(seam=None):
-    """Seam-aware X3 span-extraction UDF: the injected NER model resolves
-    once per worker (named factory) via core/models.py."""
+    """Seam-aware X3 span-extraction UDF. A scalar pandas UDF body runs
+    once per Arrow BATCH, so the seam resolves through a closure cell:
+    unnamed factories (closures/partials) initialize at most once per
+    task, named factories once per worker via core/models.py's cache —
+    never per batch."""
+    cell: dict = {}
 
     def _ner(texts: pd.Series) -> pd.Series:
-        from ..core.models import DEFAULT_SEAM
+        if "m" not in cell:
+            from ..core.models import DEFAULT_SEAM
 
-        models = (seam or DEFAULT_SEAM).resolve()
+            cell["m"] = (seam or DEFAULT_SEAM).resolve()
+        models = cell["m"]
         return texts.map(lambda t: models.ner(t) if t else [])
 
     return pandas_udf(ArrayType(ENTITY_TYPE))(_ner)
 
 
 def make_embed_udf(seam=None):
-    """Seam-aware X5 embedding UDF (same worker-cached resolution)."""
+    """Seam-aware X5 embedding UDF (same once-per-task/worker resolution
+    via closure cell as make_ner_udf)."""
+    cell: dict = {}
 
     def _embed(texts: pd.Series) -> pd.Series:
-        from ..core.models import DEFAULT_SEAM
+        if "m" not in cell:
+            from ..core.models import DEFAULT_SEAM
 
-        models = (seam or DEFAULT_SEAM).resolve()
+            cell["m"] = (seam or DEFAULT_SEAM).resolve()
+        models = cell["m"]
         return texts.map(lambda t: [float(x) for x in models.embed(t or "")])
 
     return pandas_udf(ArrayType(FloatType()))(_embed)

@@ -228,6 +228,11 @@ class IvfIndex:
         self.assigned.write.mode("overwrite").partitionBy(
             "centroid_id"
         ).parquet(path)
+        # release the cached in-memory assignment (id + full vectors):
+        # the parquet read-back replaces it, and an orphaned reference
+        # would pin corpus-sized blocks in executor storage for the
+        # session lifetime
+        self.assigned.unpersist()
         self.assigned = spark.read.parquet(path)
 
     def search(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> "DataFrame":

@@ -1025,11 +1025,17 @@ GROUP BY ROLLUP (event_type, hour)
 def q_embedding_near_dups(spark, sf):
     """Embedding-cosine near-dup (LSH sign-bucket join + exact cosine inside
     buckets — never all-pairs). Threshold 0.3 fits the random-ish fixture
-    embeddings (max in-bucket cosine ≈ 0.43); real corpora use ≥0.9."""
+    embeddings (max in-bucket cosine ≈ 0.43); real corpora use ≥0.9.
+
+    max_bucket=None pins the exact all-within-bucket semantics this
+    query's ORACLE computes: with only 2^8 buckets, a large-SF run would
+    otherwise cross the operator's default cap and switch hot buckets to
+    star pairs, silently diverging from the oracle. Production callers
+    keep the default cap (tests/test_skew.py proves the linear bound)."""
     from ..operators.dedup import embedding_cosine_dups
 
     emb = _t(spark, sf, "embeddings")
-    pairs = embedding_cosine_dups(emb, threshold=0.3, n_bits=8)
+    pairs = embedding_cosine_dups(emb, threshold=0.3, n_bits=8, max_bucket=None)
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 

@@ -814,6 +814,7 @@ JSON_PROBES: list[tuple[int, str]] = [
     (9000007, '{"a": "' + "x" * 10_001 + '"}'),              # string too long
     (9000008, '{"k": null}'),                                # clean (null ok)
     (9000009, '{"u": "data:text/html;base64,x"}'),           # data: URI
+    (9000010, None),                                         # absent body: valid
 ]
 
 _SUSPICIOUS_KEYS_SQL = (
@@ -846,7 +847,13 @@ def q_json_metadata_quarantine(spark, sf):
         F.json_object_keys("js").alias("ks"),
     )
     verdict = (
-        F.when(~F.col("ok"), F.lit("Invalid JSON format"))
+        # NULL body: reference validate_request_body skips validation
+        # (json_guard.validate_json_text(None) -> None); the DuckDB CASE
+        # falls through its NULL comparisons to 'valid', so Spark must
+        # short-circuit the same way — ~try_parse_json(NULL).isNotNull()
+        # is a real False, not NULL, and would otherwise mislabel it.
+        F.when(F.col("js").isNull(), F.lit("valid"))
+        .when(~F.col("ok"), F.lit("Invalid JSON format"))
         .when(F.size("ks") > 100, F.lit("JSON object too large"))
         .when(
             F.expr("array_max(transform(ks, x -> length(x)))") > 100,
@@ -867,7 +874,12 @@ def q_json_metadata_quarantine(spark, sf):
 
 
 _PROBE_VALUES_SQL = ",\n    ".join(
-    "({}, '{}')".format(pid, js.replace("'", "''")) for pid, js in JSON_PROBES
+    "({}, {})".format(
+        pid,
+        "CAST(NULL AS VARCHAR)" if js is None
+        else "'{}'".format(js.replace("'", "''")),
+    )
+    for pid, js in JSON_PROBES
 )
 ORACLE_JSON_QUARANTINE = f"""
 WITH rows_in AS (

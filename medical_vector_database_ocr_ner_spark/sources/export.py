@@ -26,10 +26,15 @@ if TYPE_CHECKING:
 
 
 def xml_escape_col(col: "Column") -> "Column":
-    """&, <, >, \", ' → entities. Amp FIRST or it re-escapes the others."""
+    """&, <, >, \", ' → entities; newline/CR → numeric character refs
+    (&#10;/&#13;) so the one-element-per-LINE contract of the sharded
+    sink survives multi-line values (extracted PDF text joins pages with
+    '\\n'). Amp FIRST or it re-escapes the others; XML parsers restore
+    the refs to the original characters on read."""
     out = F.regexp_replace(col, "&", "&amp;")
     for ch, ent in (("<", "&lt;"), (">", "&gt;"),
-                    ('"', "&quot;"), ("'", "&apos;")):
+                    ('"', "&quot;"), ("'", "&apos;"),
+                    ("\r", "&#13;"), ("\n", "&#10;")):
         out = F.regexp_replace(out, ch, ent)
     return out
 

@@ -26,7 +26,8 @@ class TestFormatFileSize:
             format_file_size_col,
         )
 
-        sizes = [0, 1, 500, 1023, 1024, 1536, 10_000, 1024**2,
+        sizes = [0, 1, 500, 1023, 1024, 1536, 2304, 10_000, 1024**2,
+                 5 * 1024 + 256,  # 5.25 KB: exact dyadic tie → half-even
                  5 * 1024**2 + 123, 1024**3, 1024**4, 5 * 10**12,
                  1024**5, 123_456_789_012_345]
         df = spark.createDataFrame([(s,) for s in sizes], "size bigint")
@@ -53,7 +54,7 @@ class TestXmlExport:
     def _df(self, spark):
         return spark.createDataFrame(
             [
-                (1, "plain text", "en"),
+                (1, "plain text\nsecond line", "en"),
                 (2, 'needs <escaping> & "quotes" \'too\'', "de"),
                 (3, None, "fr"),  # null column omitted
             ],
@@ -77,6 +78,9 @@ class TestXmlExport:
             by_id[int(el.findtext("doc_id"))] = el
         assert by_id[2].findtext("text") == \
             'needs <escaping> & "quotes" \'too\''
+        # newline survives as &#10; — element stays on ONE physical line
+        # and parses back to the original value
+        assert by_id[1].findtext("text") == "plain text\nsecond line"
         assert by_id[3].find("text") is None  # null omitted
         assert by_id[3].findtext("lang") == "fr"
 

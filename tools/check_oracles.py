@@ -26,7 +26,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(v)
+        return repr(v + 0.0)  # +0.0 folds -0.0 into 0.0 (engines may
+        # produce either sign from different summation orders; they
+        # compare equal and must hash equal)
     if isinstance(v, int):
         return str(v)
     return str(v)
