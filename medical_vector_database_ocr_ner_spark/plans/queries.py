@@ -1078,6 +1078,43 @@ def q_ivf_topk(spark, sf):
     return res.select("vec_id", F.round("similarity", 4).alias("similarity"))
 
 
+# Full IVF mirror in SQL (round-2): the index is deterministic end-to-end
+# — centroids are the first 8 vectors, assignment is argmax dot with
+# lowest-cid ties, probing takes the top-4 centroids by query dot — so
+# the whole ANN path is oracle-checkable, not just rows-only.
+ORACLE_IVF = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) AS d
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1 AND cid IN (
+    SELECT cid FROM (
+      SELECT c.cid,
+             list_sum(list_transform(generate_series(1, len(c.cvec)),
+                i -> CAST(c.cvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) AS d
+      FROM cents c CROSS JOIN q
+    ) ORDER BY d DESC, cid ASC LIMIT 4
+  )
+)
+SELECT vec_id, round(d, 4) AS similarity FROM (
+  SELECT a.vec_id,
+         list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) AS d
+  FROM assigned a CROSS JOIN q
+) ORDER BY d DESC, vec_id ASC LIMIT 10
+"""
+
+
 # === pipeline queries (UDF-backed; rows-only driver check) ==================
 
 _SF_PAGES = {"0.001": 200, "0.01": 2000, "0.1": 20000}
@@ -1179,8 +1216,8 @@ QUERIES: dict[str, QuerySpec] = {
     "rollup_event_stats": QuerySpec(q_rollup_event_stats, ORACLE_ROLLUP),
     "embedding_near_dups": QuerySpec(q_embedding_near_dups, ORACLE_NEAR_DUPS),
     "embedding_quantize": QuerySpec(q_embedding_quantize, ORACLE_QUANTIZE),
-    "ivf_topk": QuerySpec(q_ivf_topk, None,
-                          "ANN recall asserted vs brute force in pytest"),
+    "ivf_topk": QuerySpec(q_ivf_topk, ORACLE_IVF,
+                          "full IVF mirror; recall also asserted in pytest"),
     # UDF-backed pipeline queries: no SQL oracle (golden-tested in pytest)
     "pages_extraction": QuerySpec(q_pages_extraction, None,
                                   "byte-parity via tests/test_spark_parity.py"),

@@ -696,6 +696,95 @@ def q_hll_distinct_tokens(spark, sf):
     )
 
 
+# === portable deterministic HLL =============================================
+
+# alpha_m for m=256 registers (Flajolet et al. HLL constant), and the
+# whole numerator alpha*m^2*2^53 precomputed in Python so BOTH engines
+# divide the same double literal by the same integer — no arithmetic to
+# diverge.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_NUM = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(2**53))
+
+
+def q_hll_portable(spark, sf):
+    """Engine-portable deterministic HyperLogLog (p=8, 256 registers)
+    built from the md5-based h60 hash: register = h mod 256, rho =
+    leading-zero count of the remaining 52-bit field + 1 via the binary
+    string length (integer-exact in both engines — float log2 rounds
+    wrong near 2^k). The register-sum denominator is computed in INTEGER
+    arithmetic (sum of 2^(53-M) as BIGINT, absent registers contribute
+    2^53), so the estimate is bit-reproducible across engines, runs,
+    and partitionings — unlike approx_count_distinct, whose
+    Spark-internal xxhash sketch no other engine can replay. Sketch
+    registers merge map-side (max per register), so the shuffle carries
+    ≤ 256 rows per group at any corpus size."""
+    docs = _t(spark, sf, "documents")
+    toks = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    hashed = toks.select("lang", _h60(F.col("tok")).alias("h"))
+    rest = F.expr("h DIV 256")
+    blen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    regs = (
+        hashed.select(
+            "lang",
+            F.pmod(F.col("h"), F.lit(256)).alias("reg"),
+            (F.lit(53) - blen).cast("int").alias("rho"),
+        )
+        .groupBy("lang", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    per_lang = regs.groupBy("lang").agg(
+        F.sum(F.expr("CAST(power(2, 53 - m_j) AS BIGINT)")).alias("s_present"),
+        F.count("*").alias("n_regs"),
+    )
+    exact = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("n_exact"))
+    )
+    s_int = F.col("s_present") + (256 - F.col("n_regs")) * F.lit(2**53)
+    raw = F.lit(float(_HLL_NUM)) / s_int
+    v = 256 - F.col("n_regs")
+    est = F.when(
+        (raw <= 640) & (v > 0), 256 * F.log(256.0 / v)
+    ).otherwise(raw)
+    return per_lang.join(exact, "lang").select(
+        "lang", "n_exact", F.round(est, 4).alias("hll_est")
+    )
+
+
+_H60_TOK = H60_SQL.format(x="tok")
+ORACLE_HLL_PORTABLE = f"""
+WITH toks AS (
+  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), regs AS (
+  SELECT lang, {_H60_TOK} % 256 AS reg,
+         max(CAST(53 - (CASE WHEN {_H60_TOK} // 256 = 0 THEN 0
+                  ELSE length(bin({_H60_TOK} // 256)) END) AS INT)) AS m_j
+  FROM toks GROUP BY lang, reg
+), per_lang AS (
+  SELECT lang,
+         CAST(sum(CAST(power(2, 53 - m_j) AS BIGINT)) AS BIGINT) AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY lang
+), exact AS (
+  SELECT lang, count(DISTINCT tok) AS n_exact
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY lang
+)
+SELECT p.lang, e.n_exact,
+       round(CASE WHEN {_HLL_NUM} / (s_present + (256 - n_regs) * 9007199254740992) <= 640
+                   AND 256 - n_regs > 0
+                  THEN 256 * ln(256.0 / (256 - n_regs))
+                  ELSE {_HLL_NUM} / (s_present + (256 - n_regs) * 9007199254740992)
+             END, 4) AS hll_est
+FROM per_lang p JOIN exact e ON e.lang = p.lang
+"""
+
+
 # === ordered-sequence funnel ================================================
 
 def q_event_funnel(spark, sf):
@@ -940,6 +1029,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_tokens": QuerySpec(
         q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
     ),
+    "hll_portable": QuerySpec(q_hll_portable, ORACLE_HLL_PORTABLE),
     "multimodal_image_features": QuerySpec(
         q_multimodal_image_features, None,
         "decode stand-in; Arrow plumbing unit-tested in test_operators",

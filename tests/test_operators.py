@@ -378,3 +378,36 @@ class TestEmbeddingQuantize:
             assert r["n_saturated"] == 0
             # per-dim max error 0.5/127 → L2 bound sqrt(384)*0.5/127 ≈ 0.077
             assert 0.0 <= r["recon_err"] < 0.08
+
+
+class TestPortableHll:
+    def test_hll_estimate_accuracy(self, spark, sf001_dir):
+        """Portable deterministic HLL (256 registers): per-lang estimate
+        within 25% of exact distinct count (small cardinalities use the
+        linear-counting branch; HLL stderr at m=256 is ~6.5%)."""
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_hll_portable,
+        )
+
+        rows = q_hll_portable(spark, sf001_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            rel = abs(r["hll_est"] - r["n_exact"]) / max(r["n_exact"], 1)
+            assert rel < 0.25, (r["lang"], r["n_exact"], r["hll_est"])
+
+    def test_hll_determinism_across_partitionings(self, spark, sf001_dir):
+        """Register maxes are order-free and the denominator is integer —
+        the estimate must be bit-identical at any parallelism."""
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_hll_portable,
+        )
+
+        a = {(r["lang"]): r["hll_est"] for r in q_hll_portable(spark, sf001_dir).collect()}
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        try:
+            b = {(r["lang"]): r["hll_est"]
+                 for r in q_hll_portable(spark, sf001_dir).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert a == b
