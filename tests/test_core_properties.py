@@ -111,3 +111,73 @@ def test_embedding_unit_or_zero(t):
 def test_cosine_bounds(a, b):
     va, vb = core.embed_text(a), core.embed_text(b)
     assert -1.0 - 1e-6 <= core.cosine_similarity(va, vb) <= 1.0 + 1e-6
+
+
+# --- json_guard properties (C17) --------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-10**15, max_value=10**15),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-1e15, max_value=1e15),
+    st.text(max_size=200).filter(
+        lambda s: not __import__("re").search(
+            r"(?i)(<script|javascript:|data:|vbscript:|onload=|onerror=)", s)
+    ),
+)
+_safe_keys = st.text(
+    st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=20
+).filter(lambda k: k.lower() not in {
+    "__proto__", "constructor", "prototype", "eval", "function",
+    "settimeout", "setinterval"})
+# explicit 4-level composition, NOT st.recursive: recursive() bounds
+# leaves, not depth — a chain of single-element lists can exceed the
+# validator's depth-10 limit and make the "always valid" property flaky
+_json_values = _json_scalars
+for _ in range(4):
+    _json_values = st.one_of(
+        _json_scalars,
+        st.lists(_json_values, max_size=8),
+        st.dictionaries(_safe_keys, _json_values, max_size=8),
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(_json_values)
+def test_within_limits_payloads_always_valid(value):
+    """Any payload built within every structural limit must pass: bounded
+    depth (recursive strategy depth ≤ limits), small dicts/lists, short
+    clean strings, numbers within ±1e15, no suspicious keys."""
+    import json as _json
+
+    from medical_vector_database_ocr_ner_spark.functions.json_guard import (
+        validate_json_text,
+    )
+
+    assert validate_json_text(_json.dumps(value)) is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(_json_values, st.integers(min_value=0, max_value=6))
+def test_violation_injected_anywhere_is_caught(value, seed):
+    """Wrapping any in-limits payload under a violating construct is
+    always rejected with the right error class."""
+    import json as _json
+
+    from medical_vector_database_ocr_ner_spark.functions.json_guard import (
+        validate_json_text,
+    )
+
+    wrappers = [
+        ({"__proto__": value}, "Suspicious JSON key: __proto__"),
+        ({"k" * 101: value}, "JSON key too long"),
+        ({"a": "x" * 10_001, "b": value}, "JSON string too long"),
+        ({"a": 2e15, "b": value}, "Numeric value too large"),
+        ({"a": "<script>alert(1)", "b": value},
+         "JSON contains suspicious content"),
+        ({f"k{i}": 1 for i in range(101)}, "JSON object too large"),
+        (list(range(1001)), "JSON array too large"),
+    ]
+    payload, want = wrappers[seed]
+    assert validate_json_text(_json.dumps(payload)) == want
