@@ -115,3 +115,38 @@ def is_gibberish(text: str) -> bool:
     if len(words) > 10 and max_word_freq_ratio(text) > 0.3:
         return True
     return False
+
+
+# reference app/api/middleware.py:304-328 — response-data redaction
+SENSITIVE_KEY_SUBSTRINGS = (
+    "password", "token", "secret", "key", "api_key",
+    "private", "internal", "debug", "error_details",
+)
+
+
+def sanitize_response_data(data):
+    """Recursive sensitive-key redaction (middleware.py:304-328, exact
+    semantics): any dict key CONTAINING a sensitive substring
+    (case-insensitive) has its value replaced by '[REDACTED]'; nested
+    dicts recurse; dicts inside lists recurse; everything else passes
+    through. Non-dict input returns unchanged."""
+    if not isinstance(data, dict):
+        return data
+    sanitized = {}
+    for key, value in data.items():
+        is_sensitive = any(
+            s in key.lower() for s in SENSITIVE_KEY_SUBSTRINGS
+        )
+        if is_sensitive:
+            sanitized[key] = "[REDACTED]"
+        elif isinstance(value, dict):
+            sanitized[key] = sanitize_response_data(value)
+        elif isinstance(value, list):
+            sanitized[key] = [
+                sanitize_response_data(item) if isinstance(item, dict)
+                else item
+                for item in value
+            ]
+        else:
+            sanitized[key] = value
+    return sanitized

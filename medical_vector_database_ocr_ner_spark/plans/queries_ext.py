@@ -696,6 +696,73 @@ def q_hll_distinct_tokens(spark, sf):
     )
 
 
+# === response-data redaction ================================================
+
+# reference middleware.py:310-313 — key CONTAINS any substring (ci)
+_SENSITIVE_SQL = ("'password','token','secret','key','api_key',"
+                  "'private','internal','debug','error_details'")
+
+REDACT_PROBES: list[tuple[int, str]] = [
+    (9100001, '{"password": "hunter2", "user": "bob"}'),
+    (9100002, '{"API_Key": "abc", "n": 3}'),          # ci + substring match
+    (9100003, '{"monkey": "sees", "f": 1.5}'),        # 'key' substring hits
+    (9100004, '{"clean": "data", "x": null}'),
+]
+_REDACT_VALUES_SQL = ",\n    ".join(
+    "({}, '{}')".format(pid, js.replace("'", "''")) for pid, js in REDACT_PROBES
+)
+
+
+def q_props_redacted(spark, sf):
+    """Response-data sanitization (reference middleware.py:304-328) as a
+    declarative per-entry redaction over flat JSON metadata: explode the
+    top-level (key, value) pairs, replace values whose key contains any
+    sensitive substring (case-insensitive) with '[REDACTED]'. Scalars
+    stringify identically in both engines (from_json map<string,string>
+    vs json_extract_string), probed with hostile rows carrying real
+    secrets. Nested payloads go through the exact recursive mirror
+    core.validation.sanitize_response_data (unit-tested)."""
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("bigint").alias("id"), F.col("props").alias("js")
+    )
+    probes = spark.createDataFrame(REDACT_PROBES, "id bigint, js string")
+    rows = ev.unionByName(probes)
+    pairs = rows.select(
+        "id",
+        F.explode(F.from_json("js", "map<string,string>")).alias("key", "value"),
+    )
+    sensitive = F.exists(
+        F.split(F.lit(_SENSITIVE_SQL.replace("'", "")), ","),
+        lambda s: F.lower(F.col("key")).contains(s),
+    )
+    return pairs.select(
+        "id",
+        "key",
+        F.when(sensitive, F.lit("[REDACTED]")).otherwise(F.col("value"))
+        .alias("value"),
+    )
+
+
+ORACLE_REDACTED = f"""
+WITH rows_in AS (
+  SELECT CAST(event_id AS BIGINT) AS id, props AS js FROM events
+  UNION ALL
+  SELECT * FROM (VALUES
+    {_REDACT_VALUES_SQL}
+  ) AS probes(id, js)
+), pairs AS (
+  SELECT id, unnest(json_keys(js)) AS key, js FROM rows_in
+)
+SELECT id, key,
+       CASE WHEN len(list_filter([{_SENSITIVE_SQL}],
+                                 s -> contains(lower(key), s))) > 0
+            THEN '[REDACTED]'
+            ELSE json_extract_string(js, '$.' || key)
+       END AS value
+FROM pairs
+"""
+
+
 # === portable deterministic HLL =============================================
 
 # alpha_m for m=256 registers (Flajolet et al. HLL constant), and the
@@ -1030,6 +1097,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
         q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
     ),
     "hll_portable": QuerySpec(q_hll_portable, ORACLE_HLL_PORTABLE),
+    "props_redacted": QuerySpec(q_props_redacted, ORACLE_REDACTED),
     "multimodal_image_features": QuerySpec(
         q_multimodal_image_features, None,
         "decode stand-in; Arrow plumbing unit-tested in test_operators",

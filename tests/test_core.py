@@ -264,3 +264,44 @@ class TestOcr:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestSanitizeResponseData:
+    """reference middleware.py:304-328 — recursive sensitive-key redaction."""
+
+    def test_flat_and_case_insensitive(self):
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            sanitize_response_data,
+        )
+
+        out = sanitize_response_data({
+            "password": "hunter2", "API_Key": "abc", "monkey": "sees",
+            "clean": "data", "Debug_log": ["x"],
+        })
+        assert out == {
+            "password": "[REDACTED]", "API_Key": "[REDACTED]",
+            "monkey": "[REDACTED]",   # 'key' substring matches, like ref
+            "clean": "data", "Debug_log": "[REDACTED]",
+        }
+
+    def test_nested_dicts_and_lists(self):
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            sanitize_response_data,
+        )
+
+        out = sanitize_response_data({
+            "meta": {"token": "t", "ok": 1},
+            "items": [{"secret_sauce": 9}, {"fine": 2}, 7],
+        })
+        assert out == {
+            "meta": {"token": "[REDACTED]", "ok": 1},
+            "items": [{"secret_sauce": "[REDACTED]"}, {"fine": 2}, 7],
+        }
+
+    def test_non_dict_passthrough(self):
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            sanitize_response_data,
+        )
+
+        assert sanitize_response_data([1, 2]) == [1, 2]
+        assert sanitize_response_data("x") == "x"

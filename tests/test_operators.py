@@ -411,3 +411,18 @@ class TestPortableHll:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         assert a == b
+
+
+class TestRedactMap:
+    def test_redact_map_col(self, spark):
+        from medical_vector_database_ocr_ner_spark.functions.columns import (
+            redact_map_col,
+        )
+
+        df = spark.createDataFrame(
+            [({"lang": "en", "api_key": "xyz", "Token": "t"},)],
+            "metadata map<string,string>",
+        )
+        out = df.select(redact_map_col(F.col("metadata")).alias("m")).first()["m"]
+        assert out == {"lang": "en", "api_key": "[REDACTED]",
+                       "Token": "[REDACTED]"}
