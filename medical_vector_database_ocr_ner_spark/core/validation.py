@@ -150,3 +150,50 @@ def sanitize_response_data(data):
         else:
             sanitized[key] = value
     return sanitized
+
+
+# reference validation.py:161-190 — search-input guards. The reference
+# raises ValidationError; ValueError is this package's analog (no web
+# framework here). Distinct from this module's sanitize_string, which
+# TRUNCATES for the quarantine pipeline: the reference's search path
+# REJECTS over-long input instead, and the mirror keeps that behavior.
+_DANGEROUS_QUERY_RES = [
+    re.compile(p, re.IGNORECASE)
+    for p in (r"<script", r"javascript:", r"data:", r"vbscript:",
+              r"onload=", r"onerror=")
+]
+
+
+def validate_search_query(query: str) -> str:
+    """Exact mirror: empty check → control-char strip + trim → length
+    REJECT over 500 → dangerous-pattern reject → sanitized query."""
+    if not query or not query.strip():
+        raise ValueError("Search query cannot be empty")
+    sanitized = _CONTROL_RE.sub("", query).strip()
+    if len(sanitized) > 500:
+        raise ValueError(
+            f"String too long: {len(sanitized)} characters (max: 500)"
+        )
+    for rx in _DANGEROUS_QUERY_RES:
+        if rx.search(sanitized):
+            raise ValueError(
+                "Search query contains potentially dangerous content"
+            )
+    return sanitized
+
+
+def validate_search_parameters(
+    query: str, n_results: int, max_results: int = 100
+) -> tuple[bool, list[str]]:
+    """Exact mirror of reference validation.py:422-444: collected errors,
+    never raises."""
+    errors = []
+    if not query or not query.strip():
+        errors.append("Search query cannot be empty")
+    if n_results < 1:
+        errors.append("Number of results must be at least 1")
+    elif n_results > max_results:
+        errors.append(
+            f"Number of results too high: {n_results} (max: {max_results})"
+        )
+    return len(errors) == 0, errors

@@ -305,3 +305,61 @@ class TestSanitizeResponseData:
 
         assert sanitize_response_data([1, 2]) == [1, 2]
         assert sanitize_response_data("x") == "x"
+
+
+class TestSearchInputGuards:
+    """reference validation.py:161-190 + 422-444 mirrors."""
+
+    def test_valid_query_sanitized(self):
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            validate_search_query,
+        )
+
+        assert validate_search_query("  aspirin dosage\x00  ") == "aspirin dosage"
+
+    def test_empty_rejected(self):
+        import pytest as _pytest
+
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            validate_search_query,
+        )
+
+        for q in ("", "   ", None):
+            with _pytest.raises(ValueError, match="cannot be empty"):
+                validate_search_query(q)
+
+    def test_too_long_rejected_not_truncated(self):
+        import pytest as _pytest
+
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            validate_search_query,
+        )
+
+        with _pytest.raises(ValueError, match=r"String too long: 501"):
+            validate_search_query("q" * 501)
+        assert validate_search_query("q" * 500) == "q" * 500
+
+    def test_dangerous_patterns_rejected(self):
+        import pytest as _pytest
+
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            validate_search_query,
+        )
+
+        for q in ("<script>alert(1)", "JAVASCRIPT:x", "data:text/html",
+                  "x onload=evil()"):
+            with _pytest.raises(ValueError, match="dangerous content"):
+                validate_search_query(q)
+
+    def test_parameter_validation_collects_errors(self):
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            validate_search_parameters,
+        )
+
+        assert validate_search_parameters("q", 10) == (True, [])
+        ok, errs = validate_search_parameters("", 0)
+        assert not ok and len(errs) == 2
+        ok, errs = validate_search_parameters("q", 101)
+        assert not ok and errs == [
+            "Number of results too high: 101 (max: 100)"
+        ]
