@@ -197,3 +197,75 @@ def validate_search_parameters(
             f"Number of results too high: {n_results} (max: {max_results})"
         )
     return len(errors) == 0, errors
+
+
+def _sanitize_raising(s: str, max_length: int) -> str:
+    """Reference sanitize_string (validation.py:134-158): strips control
+    chars and whitespace but REJECTS over-long input (unlike this
+    module's truncating sanitize_string, which serves the quarantine
+    pipeline)."""
+    out = _CONTROL_RE.sub("", s).strip()
+    if len(out) > max_length:
+        raise ValueError(
+            f"String too long: {len(out)} characters (max: {max_length})"
+        )
+    return out
+
+
+def _validate_list(value_list: list) -> list:
+    """reference validation.py:237-251: ≤100 items, scalar items only,
+    strings sanitized at 500."""
+    if len(value_list) > 100:
+        raise ValueError("List too long")
+    validated = []
+    for item in value_list:
+        if isinstance(item, (str, int, float, bool)):
+            if isinstance(item, str):
+                validated.append(_sanitize_raising(item, 500))
+            else:
+                validated.append(item)
+        else:
+            raise ValueError(f"Unsupported list item type: {type(item)}")
+    return validated
+
+
+def validate_metadata(metadata):
+    """Ingest-side metadata sanitizer, exact mirror of reference
+    validation.py:193-235: None passes through; keys must be ≤100-char
+    strings; string values sanitized at 1000 (REJECT over-long); lists
+    via _validate_list; nested dicts recurse; other types reject. The
+    reject-style counterpart is functions/json_guard.py (C17)."""
+    if metadata is None:
+        return None
+    if not isinstance(metadata, dict):
+        raise ValueError("Metadata must be a dictionary")
+    validated = {}
+    for key, value in metadata.items():
+        if not isinstance(key, str):
+            raise ValueError("Metadata keys must be strings")
+        if len(key) > 100:
+            raise ValueError("Metadata key too long")
+        if isinstance(value, (str, int, float, bool)):
+            if isinstance(value, str):
+                validated[key] = _sanitize_raising(value, 1000)
+            else:
+                validated[key] = value
+        elif isinstance(value, list):
+            validated[key] = _validate_list(value)
+        elif isinstance(value, dict):
+            validated[key] = validate_metadata(value)
+        else:
+            raise ValueError(f"Unsupported metadata value type: {type(value)}")
+    return validated
+
+
+_DOC_ID_RE = re.compile(r"^[a-zA-Z0-9_-]+$")
+
+
+def validate_doc_id(v: str) -> str:
+    """reference models/document.py:166-175: non-empty, [A-Za-z0-9_-]+."""
+    if not v or not v.strip():
+        raise ValueError("Document ID cannot be empty")
+    if not _DOC_ID_RE.match(v):
+        raise ValueError("Document ID contains invalid characters")
+    return v.strip()

@@ -363,3 +363,57 @@ class TestSearchInputGuards:
         assert not ok and errs == [
             "Number of results too high: 101 (max: 100)"
         ]
+
+
+class TestMetadataValidation:
+    """reference validation.py:193-251 + document.py:166-175 mirrors."""
+
+    def test_valid_metadata_sanitized(self):
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            validate_metadata,
+        )
+
+        out = validate_metadata({
+            "lang": " en\x00 ", "n": 3, "f": 1.5, "ok": True,
+            "tags": [" a\x01 ", 2], "nested": {"k": "v"},
+        })
+        assert out == {"lang": "en", "n": 3, "f": 1.5, "ok": True,
+                       "tags": ["a", 2], "nested": {"k": "v"}}
+        assert validate_metadata(None) is None
+
+    def test_rejections(self):
+        import pytest as _pytest
+
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            validate_metadata,
+        )
+
+        with _pytest.raises(ValueError, match="must be a dictionary"):
+            validate_metadata([1])
+        with _pytest.raises(ValueError, match="keys must be strings"):
+            validate_metadata({1: "x"})
+        with _pytest.raises(ValueError, match="key too long"):
+            validate_metadata({"k" * 101: "x"})
+        with _pytest.raises(ValueError, match="String too long: 1001"):
+            validate_metadata({"k": "x" * 1001})
+        with _pytest.raises(ValueError, match="List too long"):
+            validate_metadata({"k": list(range(101))})
+        with _pytest.raises(ValueError, match="Unsupported list item"):
+            validate_metadata({"k": [{"no": "dicts"}]})
+        with _pytest.raises(ValueError, match="String too long: 501"):
+            validate_metadata({"k": ["x" * 501]})
+        with _pytest.raises(ValueError, match="Unsupported metadata value"):
+            validate_metadata({"k": object()})
+
+    def test_doc_id(self):
+        import pytest as _pytest
+
+        from medical_vector_database_ocr_ner_spark.core.validation import (
+            validate_doc_id,
+        )
+
+        assert validate_doc_id("Doc_42-a") == "Doc_42-a"
+        with _pytest.raises(ValueError, match="cannot be empty"):
+            validate_doc_id("  ")
+        with _pytest.raises(ValueError, match="invalid characters"):
+            validate_doc_id("doc/42")
