@@ -269,3 +269,15 @@ def validate_doc_id(v: str) -> str:
     if not _DOC_ID_RE.match(v):
         raise ValueError("Document ID contains invalid characters")
     return v.strip()
+
+
+_SUSPICIOUS_UA_RES = [
+    re.compile(p, re.IGNORECASE)
+    for p in (r"<script", r"javascript:", r"data:", r"vbscript:")
+]
+
+
+def is_suspicious_user_agent(user_agent: str) -> bool:
+    """reference middleware.py:185-195: XSS-ish patterns in the UA header
+    (the request-layer sibling of the malicious-url predicate)."""
+    return any(rx.search(user_agent or "") for rx in _SUSPICIOUS_UA_RES)

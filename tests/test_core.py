@@ -417,3 +417,14 @@ class TestMetadataValidation:
             validate_doc_id("  ")
         with _pytest.raises(ValueError, match="invalid characters"):
             validate_doc_id("doc/42")
+
+
+def test_suspicious_user_agent():
+    from medical_vector_database_ocr_ner_spark.core.validation import (
+        is_suspicious_user_agent,
+    )
+
+    assert is_suspicious_user_agent("Mozilla <script>x</script>")
+    assert is_suspicious_user_agent("JAVASCRIPT:void(0)")
+    assert not is_suspicious_user_agent("Mozilla/5.0 (X11; Linux)")
+    assert not is_suspicious_user_agent(None)
