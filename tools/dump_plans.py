@@ -56,6 +56,15 @@ SELECTED = [
      "Three stage aggregations all exchanged on user_id with partial "
      "aggregation map-side; event_type filters pushed into each scan "
      "(PushedFilters) — no windows, no per-user state lists."),
+    ("hll_portable",
+     "Deterministic HLL: explode → distinct → two HashAggregates "
+     "(register max, then integer register-sum) — the sketch merges "
+     "map-side, the shuffle carries ≤256 rows per group at any corpus "
+     "size; zero Python anywhere."),
+    ("props_redacted",
+     "Flat-JSON redaction as pure expressions: from_json map + "
+     "explode + native EXISTS over the sensitive-substring array — "
+     "a generate/project-only plan, no shuffle at all."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
