@@ -129,7 +129,14 @@ def sanitize_response_data(data):
     semantics): any dict key CONTAINING a sensitive substring
     (case-insensitive) has its value replaced by '[REDACTED]'; nested
     dicts recurse; dicts inside lists recurse; everything else passes
-    through. Non-dict input returns unchanged."""
+    through. Non-dict input returns unchanged.
+
+    Mirror-faithful INCLUDING the reference's blind spot: a dict nested
+    inside a list inside a list is NOT walked (the list branch only
+    recurses into direct dict items), so [[{"password": ...}]] survives —
+    exactly as middleware.py:323-324 behaves. Strict full-depth walking
+    belongs to functions/json_guard.py (C17), which rejects rather than
+    rewrites."""
     if not isinstance(data, dict):
         return data
     sanitized = {}
@@ -152,15 +159,24 @@ def sanitize_response_data(data):
     return sanitized
 
 
+# SINGLE SOURCE for the XSS-ish content patterns shared by four guards:
+# search-query validation (validation.py:177-184), JSON string values
+# (middleware.py:277-284), the User-Agent check (middleware.py:185-190,
+# the 4-pattern prefix), and the declarative quarantine query's regex.
+# functions/json_guard.py and plans/queries_ext.py import from here so
+# the lists can never drift (round-2 review finding).
+DANGEROUS_CONTENT_PATTERNS = (
+    r"<script", r"javascript:", r"data:", r"vbscript:",
+    r"onload=", r"onerror=",
+)
+
 # reference validation.py:161-190 — search-input guards. The reference
 # raises ValidationError; ValueError is this package's analog (no web
 # framework here). Distinct from this module's sanitize_string, which
 # TRUNCATES for the quarantine pipeline: the reference's search path
 # REJECTS over-long input instead, and the mirror keeps that behavior.
 _DANGEROUS_QUERY_RES = [
-    re.compile(p, re.IGNORECASE)
-    for p in (r"<script", r"javascript:", r"data:", r"vbscript:",
-              r"onload=", r"onerror=")
+    re.compile(p, re.IGNORECASE) for p in DANGEROUS_CONTENT_PATTERNS
 ]
 
 
@@ -169,11 +185,7 @@ def validate_search_query(query: str) -> str:
     REJECT over 500 → dangerous-pattern reject → sanitized query."""
     if not query or not query.strip():
         raise ValueError("Search query cannot be empty")
-    sanitized = _CONTROL_RE.sub("", query).strip()
-    if len(sanitized) > 500:
-        raise ValueError(
-            f"String too long: {len(sanitized)} characters (max: 500)"
-        )
+    sanitized = _sanitize_raising(query, 500)
     for rx in _DANGEROUS_QUERY_RES:
         if rx.search(sanitized):
             raise ValueError(
@@ -271,9 +283,9 @@ def validate_doc_id(v: str) -> str:
     return v.strip()
 
 
+# middleware.py:185-190 declares exactly the first four content patterns
 _SUSPICIOUS_UA_RES = [
-    re.compile(p, re.IGNORECASE)
-    for p in (r"<script", r"javascript:", r"data:", r"vbscript:")
+    re.compile(p, re.IGNORECASE) for p in DANGEROUS_CONTENT_PATTERNS[:4]
 ]
 
 

@@ -206,21 +206,19 @@ def format_file_size_col(size_bytes: Column) -> Column:
     )
 
 
-_SENSITIVE_KEY_SUBSTRINGS = (
-    "password", "token", "secret", "key", "api_key",
-    "private", "internal", "debug", "error_details",
-)
-
-
 def redact_map_col(map_col: Column) -> Column:
     """Sensitive-key redaction for a MAP<string,string> column (reference
     middleware.py:304-328 semantics on the flat map case): values whose
     KEY contains any sensitive substring (case-insensitive) become
     '[REDACTED]'. Native transform_values — no Python; nested payloads go
-    through core.validation.sanitize_response_data instead."""
+    through core.validation.sanitize_response_data instead. The substring
+    list is single-sourced from core.validation so this column fn, the
+    recursive mirror, and the props_redacted oracle can't drift."""
+    from ..core.validation import SENSITIVE_KEY_SUBSTRINGS
+
     def _redact(k, v):
         cond = None
-        for s in _SENSITIVE_KEY_SUBSTRINGS:
+        for s in sorted(SENSITIVE_KEY_SUBSTRINGS):
             c = F.lower(k).contains(s)
             cond = c if cond is None else (cond | c)
         return F.when(cond, F.lit("[REDACTED]")).otherwise(v)

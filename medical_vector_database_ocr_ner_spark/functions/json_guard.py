@@ -57,11 +57,13 @@ SUSPICIOUS_KEYS = frozenset(
     )
 )
 
-# middleware.py:277-284 — each searched case-insensitively
+# middleware.py:277-284 — each searched case-insensitively; the pattern
+# list is single-sourced in core.validation (shared with the search-query
+# and UA guards)
+from ..core.validation import DANGEROUS_CONTENT_PATTERNS
+
 SUSPICIOUS_PATTERNS = [
-    re.compile(p, re.IGNORECASE)
-    for p in (r"<script", r"javascript:", r"data:", r"vbscript:",
-              r"onload=", r"onerror=")
+    re.compile(p, re.IGNORECASE) for p in DANGEROUS_CONTENT_PATTERNS
 ]
 
 

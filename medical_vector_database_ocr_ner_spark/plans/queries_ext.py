@@ -698,15 +698,21 @@ def q_hll_distinct_tokens(spark, sf):
 
 # === response-data redaction ================================================
 
-# reference middleware.py:310-313 — key CONTAINS any substring (ci)
-_SENSITIVE_SQL = ("'password','token','secret','key','api_key',"
-                  "'private','internal','debug','error_details'")
+# reference middleware.py:310-313 — single source of truth lives in
+# core.validation; the SQL list and the Spark array both derive from it
+# so the three consumers can never drift (round-2 review finding).
+from ..core.validation import SENSITIVE_KEY_SUBSTRINGS
+
+_SENSITIVE_SQL = ",".join(f"'{s}'" for s in sorted(SENSITIVE_KEY_SUBSTRINGS))
 
 REDACT_PROBES: list[tuple[int, str]] = [
     (9100001, '{"password": "hunter2", "user": "bob"}'),
     (9100002, '{"API_Key": "abc", "n": 3}'),          # ci + substring match
     (9100003, '{"monkey": "sees", "f": 1.5}'),        # 'key' substring hits
     (9100004, '{"clean": "data", "x": null}'),
+    # dotted key: a JSON-path-based oracle would descend '$.secret.key'
+    # instead of reading the literal key — both sides must take it literally
+    (9100005, '{"user.name": "bob", "secret.key": "s"}'),
 ]
 _REDACT_VALUES_SQL = ",\n    ".join(
     "({}, '{}')".format(pid, js.replace("'", "''")) for pid, js in REDACT_PROBES
@@ -732,7 +738,7 @@ def q_props_redacted(spark, sf):
         F.explode(F.from_json("js", "map<string,string>")).alias("key", "value"),
     )
     sensitive = F.exists(
-        F.split(F.lit(_SENSITIVE_SQL.replace("'", "")), ","),
+        F.array(*[F.lit(s) for s in sorted(SENSITIVE_KEY_SUBSTRINGS)]),
         lambda s: F.lower(F.col("key")).contains(s),
     )
     return pairs.select(
@@ -751,13 +757,19 @@ WITH rows_in AS (
     {_REDACT_VALUES_SQL}
   ) AS probes(id, js)
 ), pairs AS (
-  SELECT id, unnest(json_keys(js)) AS key, js FROM rows_in
+  -- literal-key extraction: CAST(json AS MAP) mirrors Spark's from_json
+  -- map semantics exactly (scalars stringified, keys taken verbatim);
+  -- a '$.' || key JSON path would be path-INJECTED by dotted keys
+  SELECT id, u.key AS key, u.value AS value FROM (
+    SELECT id, unnest(map_entries(CAST(json(js) AS MAP(VARCHAR, VARCHAR)))) AS u
+    FROM rows_in
+  )
 )
 SELECT id, key,
        CASE WHEN len(list_filter([{_SENSITIVE_SQL}],
                                  s -> contains(lower(key), s))) > 0
             THEN '[REDACTED]'
-            ELSE json_extract_string(js, '$.' || key)
+            ELSE value
        END AS value
 FROM pairs
 """
@@ -977,7 +989,11 @@ _SUSPICIOUS_KEYS_SQL = (
     "'__proto__','constructor','prototype','eval',"
     "'function','settimeout','setinterval'"
 )
-_SUSPICIOUS_RE = "(?i)(<script|javascript:|data:|vbscript:|onload=|onerror=)"
+# derived from the single-source pattern tuple (core.validation) so the
+# declarative regex and the recursive validator can't drift
+from ..core.validation import DANGEROUS_CONTENT_PATTERNS as _DCP
+
+_SUSPICIOUS_RE = "(?i)(" + "|".join(_DCP) + ")"
 
 
 def q_json_metadata_quarantine(spark, sf):

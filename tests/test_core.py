@@ -428,3 +428,15 @@ def test_suspicious_user_agent():
     assert is_suspicious_user_agent("JAVASCRIPT:void(0)")
     assert not is_suspicious_user_agent("Mozilla/5.0 (X11; Linux)")
     assert not is_suspicious_user_agent(None)
+
+
+def test_sanitize_response_data_list_in_list_blind_spot():
+    """Documents the reference's exact behavior (middleware.py:323-324):
+    dicts nested through TWO list levels are not walked — the mirror must
+    reproduce it, and json_guard is the strict alternative."""
+    from medical_vector_database_ocr_ner_spark.core.validation import (
+        sanitize_response_data,
+    )
+
+    out = sanitize_response_data({"items": [[{"password": "p"}]]})
+    assert out == {"items": [[{"password": "p"}]]}  # faithfully unredacted

@@ -123,7 +123,10 @@ _json_scalars = st.one_of(
               min_value=-1e15, max_value=1e15),
     st.text(max_size=200).filter(
         lambda s: not __import__("re").search(
-            r"(?i)(<script|javascript:|data:|vbscript:|onload=|onerror=)", s)
+            "(?i)(" + "|".join(__import__(
+                "medical_vector_database_ocr_ner_spark.core.validation",
+                fromlist=["DANGEROUS_CONTENT_PATTERNS"],
+            ).DANGEROUS_CONTENT_PATTERNS) + ")", s)
     ),
 )
 _safe_keys = st.text(
