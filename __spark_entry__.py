@@ -29,14 +29,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from medical_vector_database_ocr_ner_spark.plans.queries import QUERIES
+    from medical_vector_database_ocr_ner_spark.plans.queries import driver_ordered
 
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: spec.fn for name, spec in driver_ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from medical_vector_database_ocr_ner_spark.plans.queries import QUERIES
+    from medical_vector_database_ocr_ner_spark.plans.queries import driver_ordered
 
     return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in driver_ordered().items()
+        if spec.oracle is not None
     }
