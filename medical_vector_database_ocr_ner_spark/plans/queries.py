@@ -15,6 +15,7 @@ match. Conventions keeping the two engines hash-identical:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -1176,6 +1177,44 @@ def q_semantic_search(spark, sf):
     )
 
 
+# === golden regression oracles for the UDF-backed pipeline queries =========
+# The extraction/embedding stand-ins are pure functions of the payload
+# bytes, so each query's output at a given pages-table size is a constant.
+# tools/make_goldens.py materializes those constants (tagged per scale) to
+# tests/golden/oracle/*.parquet; the DuckDB oracle selects the slice whose
+# n_pages matches the current sf, inferred from the orders view's row count
+# (1500/15000/150000 — the only pre-registered table whose cardinality
+# distinguishes all three sfs; documents is 500 rows at BOTH sf0.001 and
+# sf0.01). Unknown sf → CASE yields NULL → 0 rows → loud mismatch.
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_GOLDEN_ORACLE_DIR = os.path.join(_REPO_ROOT, "tests", "golden", "oracle")
+_SF_TO_N_PAGES_SQL = (
+    "(SELECT CASE (SELECT count(*) FROM orders) "
+    "WHEN 1500 THEN 200 WHEN 15000 THEN 2000 WHEN 150000 THEN 20000 END)"
+)
+
+ORACLE_PAGES_EXTRACTION = f"""
+SELECT url, kind, status, entity_count, content_hash
+FROM read_parquet('{_GOLDEN_ORACLE_DIR}/pages_extraction.parquet')
+WHERE n_pages = {_SF_TO_N_PAGES_SQL}
+"""
+
+ORACLE_PDF_EXPLODE = f"""
+SELECT url, page_text, confidence
+FROM read_parquet('{_GOLDEN_ORACLE_DIR}/pdf_page_explode.parquet')
+WHERE n_pages = {_SF_TO_N_PAGES_SQL}
+"""
+
+ORACLE_SEMANTIC_SEARCH = f"""
+SELECT * EXCLUDE (n_pages)
+FROM read_parquet('{_GOLDEN_ORACLE_DIR}/semantic_search.parquet')
+WHERE n_pages = {_SF_TO_N_PAGES_SQL}
+"""
+
+
 # === registry ===============================================================
 
 QUERIES: dict[str, QuerySpec] = {
@@ -1218,13 +1257,18 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_quantize": QuerySpec(q_embedding_quantize, ORACLE_QUANTIZE),
     "ivf_topk": QuerySpec(q_ivf_topk, ORACLE_IVF,
                           "full IVF mirror; recall also asserted in pytest"),
-    # UDF-backed pipeline queries: no SQL oracle (golden-tested in pytest)
-    "pages_extraction": QuerySpec(q_pages_extraction, None,
-                                  "byte-parity via tests/test_spark_parity.py"),
-    "pdf_page_explode": QuerySpec(q_pdf_page_explode, None,
-                                  "page expansion golden-tested"),
-    "semantic_search": QuerySpec(q_semantic_search, None,
-                                 "top-k vs brute-force in pytest"),
+    # UDF-backed pipeline queries: hash-checked against committed golden
+    # parquet (deterministic stand-ins → constant output per scale); also
+    # byte-parity / brute-force tested in pytest
+    "pages_extraction": QuerySpec(q_pages_extraction, ORACLE_PAGES_EXTRACTION,
+                                  "golden regression oracle + byte-parity "
+                                  "via tests/test_spark_parity.py"),
+    "pdf_page_explode": QuerySpec(q_pdf_page_explode, ORACLE_PDF_EXPLODE,
+                                  "golden regression oracle + page "
+                                  "expansion golden-tested"),
+    "semantic_search": QuerySpec(q_semantic_search, ORACLE_SEMANTIC_SEARCH,
+                                 "golden regression oracle + top-k vs "
+                                 "brute-force in pytest"),
 }
 
 
