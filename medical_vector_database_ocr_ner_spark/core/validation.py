@@ -293,3 +293,28 @@ def is_suspicious_user_agent(user_agent: str) -> bool:
     """reference middleware.py:185-195: XSS-ish patterns in the UA header
     (the request-layer sibling of the malicious-url predicate)."""
     return any(rx.search(user_agent or "") for rx in _SUSPICIOUS_UA_RES)
+
+
+def validate_user_agent(user_agent: str) -> str:
+    """reference middleware.py:179-193 in full: length gate first (UA >
+    500 chars rejected before any pattern scan), then the 4-pattern
+    suspicion check. Raises like the reference's ValidationError paths."""
+    ua = user_agent or ""
+    if len(ua) > 500:
+        raise ValueError("User-Agent header too long")
+    if is_suspicious_user_agent(ua):
+        raise ValueError("Suspicious User-Agent header")
+    return ua
+
+
+_FORWARDED_IP_RE = re.compile(r"^[\d\.]+$")
+
+
+def validate_forwarded_header(header: str, value: str) -> str:
+    """reference middleware.py:163-176: x-forwarded-for / x-real-ip must
+    look like a dotted-numeric address; other suspicious headers
+    (x-forwarded-host, x-originating-ip) pass through unchecked there."""
+    if header.lower() in ("x-forwarded-for", "x-real-ip"):
+        if not _FORWARDED_IP_RE.match(value or ""):
+            raise ValueError(f"Invalid {header} value")
+    return value

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import re
+from contextlib import contextmanager
 from typing import TYPE_CHECKING, Any
 
 import pandas as pd
@@ -132,22 +133,39 @@ def json_violation_udf(texts: pd.Series) -> pd.Series:
 
 def split_quarantine(
     df: "DataFrame", json_col: str, error_col: str = "json_error",
-    cache: bool = False,
 ) -> tuple["DataFrame", "DataFrame"]:
     """(valid_rows, quarantined_rows): one judged plan, two filters.
 
     Spark has NO cross-action plan reuse: if the caller runs separate
     actions on both outputs (write valid, write quarantine), the
     validation UDF re-executes for each — 2× the Python-worker cost at
-    100 TB. Pass ``cache=True`` to persist the judged frame (caller
-    should unpersist via judged's storage when done), or consume both
-    outputs from a single action (e.g. partitionBy(error IS NULL)
-    write). Quarantined rows carry the reference's exact error string in
+    100 TB. Either consume both outputs from a single action (e.g.
+    partitionBy(error IS NULL) write) or use
+    :func:`split_quarantine_cached`, which persists the judged frame for
+    the duration of a ``with`` block and unpersists it on exit.
+    Quarantined rows carry the reference's exact error string in
     ``error_col``.
     """
     judged = df.withColumn(error_col, json_violation_udf(F.col(json_col)))
-    if cache:
-        judged = judged.cache()
     valid = judged.where(F.col(error_col).isNull()).drop(error_col)
     quarantined = judged.where(F.col(error_col).isNotNull())
     return valid, quarantined
+
+
+@contextmanager
+def split_quarantine_cached(
+    df: "DataFrame", json_col: str, error_col: str = "json_error",
+):
+    """Like :func:`split_quarantine`, but the judged frame is persisted so
+    the validation UDF runs once across actions on both outputs; the cache
+    is released when the block exits (the corpus-sized judged frame must
+    not pin executor storage for the session)."""
+    judged = df.withColumn(error_col, json_violation_udf(F.col(json_col)))
+    judged = judged.cache()
+    try:
+        yield (
+            judged.where(F.col(error_col).isNull()).drop(error_col),
+            judged.where(F.col(error_col).isNotNull()),
+        )
+    finally:
+        judged.unpersist()

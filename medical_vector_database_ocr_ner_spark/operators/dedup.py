@@ -137,6 +137,7 @@ def ngram_jaccard_pairs(
     df: "DataFrame", text_col: str, id_col: str,
     threshold: float = 0.8, shingle_n: int = 3,
     df_max: int = 10_000,
+    observation=None,
 ) -> "DataFrame":
     """Exact Jaccard over shingle sets via inverted-index self-join:
     (id_a, id_b, jaccard). The join key is the shingle — pairs sharing zero
@@ -149,16 +150,38 @@ def ngram_jaccard_pairs(
     over the non-stop shingle sets — consistent numerator/denominator, and
     every posting list (hence every join key's pair fan-out) is bounded by
     df_max². Near-dup pairs lose nothing in practice: a shingle that common
-    carries no similarity signal. Raise or set df_max=None to disable."""
+    carries no similarity signal. Raise or set df_max=None to disable.
+
+    The cap is a deliberate recall trade, so it must not be silent: pass a
+    ``pyspark.sql.Observation`` as ``observation`` and read it after the
+    caller's action via :func:`cap_observation_metrics` —
+    ``dropped_shingles`` (how many distinct stop-shingles the cap removed)
+    and ``max_df`` (the hottest shingle's document frequency) at zero
+    extra passes. The observe node must sit in the MAIN (probe-side)
+    stream: metrics attached to the broadcast build side (the frequency
+    aggregate) are dropped whenever Spark runs the broadcast job on a
+    separate thread, so with an observation we join the full frequency
+    table, observe, then filter; each dropped shingle contributes
+    _df × (1/_df) = 1 to the dropped count."""
     sh = _word_shingles(df, text_col, id_col, shingle_n)
     if df_max is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= df_max)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        if observation is None:
+            rare = freq.where(F.col("_df") <= df_max).select("shingle")
+            sh = sh.join(rare, "shingle")
+        else:
+            tagged = sh.join(freq, "shingle").observe(
+                observation,
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("_df") > df_max, 1.0 / F.col("_df")
+                        ).otherwise(0.0)
+                    )
+                ).cast("bigint").alias("dropped_shingles"),
+                F.max("_df").alias("max_df"),
+            )
+            sh = tagged.where(F.col("_df") <= df_max).select("_id", "shingle")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("_id").alias("id_a"), "shingle")
     b = sh.select(F.col("_id").alias("id_b"), "shingle")
@@ -204,7 +227,10 @@ def embedding_cosine_dups(
     (star contraction / connected components) recover the same clusters:
     members near-identical to each other are near-identical to the
     representative. Direct pair-level recall inside oversized buckets is
-    traded for the bound; set max_bucket=None to disable."""
+    traded for the bound; set max_bucket=None to disable. The trade must
+    not be silent: run :func:`bucket_overflow_stats` (one cheap keyed agg,
+    opt-in) to see how many buckets — and how many members — the star
+    fallback actually touched."""
     b = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         _sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
@@ -246,3 +272,57 @@ def embedding_cosine_dups(
         .join(reps, "bucket")
     )
     return _score(small_pairs.unionByName(big_pairs))
+
+
+NGRAM_CAP_METRICS = ("dropped_shingles", "max_df")
+
+
+def cap_observation_metrics(observation) -> dict:
+    """Read the ngram_jaccard_pairs cap Observation after the caller's
+    action. Works around a pyspark 4.1.2 quirk: ``Observation.get`` calls
+    JVM ``PythonSQLUtils.toPyRow``, which asserts the metrics row carries a
+    schema — but for every observation after the first in a session the
+    row comes back schema-less and the assertion throws. The metric VALUES
+    are fine; fetch them positionally (we attached the exprs, so we know
+    the order) via py4j. Blocks until the observed action finishes, same
+    as ``Observation.get``.
+
+    Returns all-None when the metrics row is empty: AQE's empty-relation
+    propagation can replace the observed subtree (observe node included)
+    with an empty relation when the query's FINAL result is empty, so "no
+    pairs found" can mean "no metrics collected" — never assume zero."""
+    jrow = observation._jo.getRow()
+    if jrow.length() == 0:
+        return {name: None for name in NGRAM_CAP_METRICS}
+    return {name: jrow.get(i) for i, name in enumerate(NGRAM_CAP_METRICS)}
+
+
+def bucket_overflow_stats(
+    emb: "DataFrame", vec_col: str = "embedding", id_col: str = "vec_id",
+    n_bits: int = 12, max_bucket: int = 1000,
+) -> dict:
+    """Observability for embedding_cosine_dups' max_bucket cap: how much
+    recall the star-pair fallback is trading away on THIS corpus.
+
+    Returns {n_buckets, n_overflow_buckets, overflow_members,
+    max_bucket_size}. Runs one keyed aggregation (an action) — opt-in
+    diagnostics, not part of the dedup plan itself, because the bucket
+    stats subtree is referenced by both the small- and big-bucket branches
+    and an in-plan CollectMetrics node would be duplicated."""
+    row = (
+        emb.select(_sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
+                "n_overflow_buckets"
+            ),
+            F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).alias(
+                "overflow_members"
+            ),
+            F.max("n").alias("max_bucket_size"),
+        )
+        .collect()[0]
+    )
+    return row.asDict()

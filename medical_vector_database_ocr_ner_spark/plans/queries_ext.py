@@ -359,6 +359,10 @@ def q_priority_revenue_share(spark, sf):
     per = orders.groupBy("o_orderpriority").agg(
         F.sum("o_totalprice").alias("revenue")
     )
+    # Unpartitioned window = single-partition WindowExec, which Spark warns
+    # about — deliberate here: it runs over the 5-row priority aggregate
+    # (one row per o_orderpriority), never the fact table. Bounded
+    # cardinality at any scale; do not "fix" by partitioning.
     w = Window.partitionBy()
     return per.select(
         "o_orderpriority",
@@ -985,13 +989,13 @@ JSON_PROBES: list[tuple[int, str]] = [
     (9000010, None),                                         # absent body: valid
 ]
 
-_SUSPICIOUS_KEYS_SQL = (
-    "'__proto__','constructor','prototype','eval',"
-    "'function','settimeout','setinterval'"
-)
-# derived from the single-source pattern tuple (core.validation) so the
-# declarative regex and the recursive validator can't drift
+# derived from the single-source sets (functions.json_guard /
+# core.validation) so the declarative SQL and the recursive validator
+# can't drift
 from ..core.validation import DANGEROUS_CONTENT_PATTERNS as _DCP
+from ..functions.json_guard import SUSPICIOUS_KEYS as _SUSP_KEYS
+
+_SUSPICIOUS_KEYS_SQL = ",".join(f"'{k}'" for k in sorted(_SUSP_KEYS))
 
 _SUSPICIOUS_RE = "(?i)(" + "|".join(_DCP) + ")"
 

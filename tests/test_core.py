@@ -440,3 +440,43 @@ def test_sanitize_response_data_list_in_list_blind_spot():
 
     out = sanitize_response_data({"items": [[{"password": "p"}]]})
     assert out == {"items": [[{"password": "p"}]]}  # faithfully unredacted
+
+
+def test_validate_user_agent_length_gate_precedes_patterns():
+    """reference middleware.py:179-193: length gate (>500) fires before the
+    pattern scan; clean short UAs pass through unchanged."""
+    import pytest as _pytest
+
+    from medical_vector_database_ocr_ner_spark.core.validation import (
+        validate_user_agent,
+    )
+
+    assert validate_user_agent("Mozilla/5.0 (X11; Linux)") == "Mozilla/5.0 (X11; Linux)"
+    assert validate_user_agent(None) == ""
+    with _pytest.raises(ValueError, match="too long"):
+        validate_user_agent("A" * 501)
+    # 501 chars INCLUDING a suspicious pattern: length error wins (order)
+    with _pytest.raises(ValueError, match="too long"):
+        validate_user_agent("<script>" + "A" * 500)
+    with _pytest.raises(ValueError, match="Suspicious"):
+        validate_user_agent("Mozilla <script>x</script>")
+    assert validate_user_agent("A" * 500) == "A" * 500  # boundary: 500 ok
+
+
+def test_validate_forwarded_header():
+    """reference middleware.py:163-176: dotted-numeric check applies only
+    to x-forwarded-for / x-real-ip."""
+    import pytest as _pytest
+
+    from medical_vector_database_ocr_ner_spark.core.validation import (
+        validate_forwarded_header,
+    )
+
+    assert validate_forwarded_header("x-forwarded-for", "10.0.0.1") == "10.0.0.1"
+    assert validate_forwarded_header("X-Real-IP", "192.168.1.9") == "192.168.1.9"
+    with _pytest.raises(ValueError, match="Invalid x-forwarded-for"):
+        validate_forwarded_header("x-forwarded-for", "evil.example")
+    with _pytest.raises(ValueError, match="Invalid x-real-ip"):
+        validate_forwarded_header("x-real-ip", "")
+    # other suspicious headers pass through unchecked, as in the reference
+    assert validate_forwarded_header("x-forwarded-host", "evil.example") == "evil.example"

@@ -151,3 +151,25 @@ class TestQuarantineSplit:
             if validate_json_text(p) is not None
         }
         assert got == want
+
+
+def test_split_quarantine_cached_releases_storage(spark):
+    from medical_vector_database_ocr_ner_spark.functions.json_guard import (
+        split_quarantine_cached,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 1}'), (2, "not json"), (3, '{"__proto__": 1}')],
+        "id int, props string",
+    )
+    with split_quarantine_cached(df, "props") as (valid, quarantined):
+        assert {r["id"] for r in valid.collect()} == {1}
+        bad = {r["id"]: r["json_error"] for r in quarantined.collect()}
+        assert bad == {
+            2: "Invalid JSON format",
+            3: "Suspicious JSON key: __proto__",
+        }
+        # the judged frame is cached while the block is open
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    # and released on exit
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -136,3 +136,76 @@ class TestDedupHotKeyCaps:
         b = {(r["id_a"], r["id_b"]) for r in embedding_cosine_dups(
             emb, threshold=0.9, n_bits=4, max_bucket=10).collect()}
         assert a == b == {(1, 2)}
+
+
+class TestCapObservability:
+    """ADVICE r2: the recall-trading caps must not be silent."""
+
+    def test_ngram_cap_observation_reports_drops(self, spark):
+        from pyspark.sql import Observation
+
+        from medical_vector_database_ocr_ner_spark.operators.dedup import (
+            cap_observation_metrics,
+            ngram_jaccard_pairs,
+        )
+
+        # Non-empty final result on purpose: AQE empty-relation
+        # propagation prunes the observe node when the query result is
+        # empty (documented on cap_observation_metrics) — docs 100/101
+        # share rare shingles so at least one pair survives the cap.
+        rows = [
+            (i, f"the common shingle unique{i} tail{i} end{i}")
+            for i in range(40)
+        ]
+        rows += [
+            (100, "the common shingle alpha beta gamma delta"),
+            (101, "the common shingle alpha beta gamma epsilon"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        obs = Observation("ngram_cap")
+        pairs = ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.0, df_max=5, observation=obs
+        )
+        assert pairs.count() >= 1  # action fires the observation
+        got = cap_observation_metrics(obs)
+        assert got["dropped_shingles"] == 1  # only the df=42 hot shingle
+        assert got["max_df"] == 42
+
+    def test_ngram_cap_observation_zero_when_cap_idle(self, spark):
+        from pyspark.sql import Observation
+
+        from medical_vector_database_ocr_ner_spark.operators.dedup import (
+            cap_observation_metrics,
+            ngram_jaccard_pairs,
+        )
+
+        # two docs share a shingle → non-empty result (see above: an
+        # empty result may drop the AQE-pruned observe node entirely)
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma theta")],
+            "doc_id int, text string",
+        )
+        obs = Observation("ngram_cap_idle")
+        out = ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.0, df_max=5, observation=obs
+        )
+        assert out.count() >= 1
+        assert cap_observation_metrics(obs)["dropped_shingles"] == 0
+
+    def test_bucket_overflow_stats(self, spark):
+        from medical_vector_database_ocr_ner_spark.operators.dedup import (
+            bucket_overflow_stats,
+        )
+
+        # 100 identical vectors (one degenerate bucket) + 3 spread singletons
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(100)]
+        rows += [(200, [-1.0, 0.0, 0.0, 0.0]), (201, [0.0, -1.0, 0.0, 0.0])]
+        emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        s = bucket_overflow_stats(emb, n_bits=4, max_bucket=10)
+        assert s["n_overflow_buckets"] == 1
+        assert s["overflow_members"] == 100
+        assert s["max_bucket_size"] == 100
+        assert s["n_buckets"] >= 2
+        quiet = bucket_overflow_stats(emb, n_bits=4, max_bucket=1000)
+        assert quiet["n_overflow_buckets"] == 0
+        assert quiet["overflow_members"] == 0
