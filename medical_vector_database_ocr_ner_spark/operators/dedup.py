@@ -105,32 +105,41 @@ def minhash_lsh_candidates(
 
 
 def simhash(df: "DataFrame", text_col: str, id_col: str, bits: int = 64) -> "DataFrame":
-    """Count-weighted SimHash: (id, simhash bigint). Bit votes via integer
-    div/mod on the 60-bit token hash (fits 64-bit exactly for bits ≤ 60)."""
+    """Count-weighted SimHash: (id, simhash bigint).
+
+    Long-format rewrite (VERDICT r2 item 4): ONE shuffle, no row
+    multiplication. Tokens are exploded (narrow), each occurrence votes
+    ±1 per bit via shiftright/AND on its 60-bit hash, and a single
+    groupBy(id) carries ``bits`` sum columns — map-side combine reduces
+    the shuffle to one 60-ish-column row per (id × map partition).
+    Count-weighting is implicit: summing per-occurrence votes equals
+    summing count × vote per distinct token. The previous shape
+    (crossJoin with a broadcast bit relation) multiplied the corpus-sized
+    token table ×bits before its shuffle — a 60× amplification at full
+    width."""
     assert bits <= 60, "h60 provides 60 usable bits"
-    tc = (
-        df.select(F.col(id_col).alias("_id"),
-                  F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .groupBy("_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .withColumn("h", h60(F.col("tok")))
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select("_id", h60(F.col("tok")).alias("h"))
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
     )
-    bdf = df.sparkSession.range(bits).select(
-        F.col("id").cast("int").alias("bit"),
-        F.pow(F.lit(2.0), F.col("id")).cast("bigint").alias("p"),
+    packed = sum(
+        (
+            F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for i in range(bits)
+        ),
+        start=F.lit(0).cast("bigint"),
     )
-    per_bit = (
-        tc.crossJoin(F.broadcast(bdf))
-        .select("_id", "bit", "p",
-                (F.col("c") * (F.expr("(h DIV p) % 2") * 2 - 1)).alias("w"))
-        .groupBy("_id", "bit", "p")
-        .agg(F.sum("w").alias("s"))
-    )
-    return (
-        per_bit.groupBy("_id")
-        .agg(F.sum(F.when(F.col("s") >= 0, F.col("p")).otherwise(0)).alias("simhash"))
-        .withColumnRenamed("_id", id_col)
-    )
+    return votes.select(F.col("_id").alias(id_col), packed.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
