@@ -1,0 +1,58 @@
+"""Heavy-fake model factories for exercising the ModelSeam end to end.
+
+The real models (tesseract / spaCy / sentence-transformers — reference
+ocr_service.py:42-73, ner_service.py:22-48, vector_service.py:46-52) are
+absent in this environment, so these factories simulate the COST SHAPE of
+a real model swap: a slow one-time initialization (weight load) followed
+by fast per-call inference that delegates to the deterministic stand-ins,
+keeping outputs byte-identical to the default pipeline.
+
+They are module-level NAMED functions on purpose: cloudpickle ships them
+by reference, so core.models' _WORKER_CACHE keys them by qualified name
+and each Python worker process initializes them at most once — the
+property the end-to-end seam test asserts.
+
+Worker-side channel: a named factory takes no arguments and env vars set
+after the JVM forked don't reach Python workers, so the init marker path
+travels through a fixed pointer file (POINTER_PATH). Tests write the
+actual marker path there; each factory init appends its worker pid to the
+marker. Driver-only tooling — never imported by the pipeline itself.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+POINTER_PATH = "/tmp/mvdb_seam_marker_pointer.txt"
+HEAVY_INIT_SECONDS = 0.75
+
+
+def _record_init(tag: str) -> None:
+    time.sleep(HEAVY_INIT_SECONDS)  # stand-in for a multi-second weight load
+    try:
+        with open(POINTER_PATH) as f:
+            marker = f.read().strip()
+    except OSError:
+        return
+    if marker:
+        with open(marker, "a") as f:
+            f.write(f"{tag}:{os.getpid()}\n")
+
+
+def heavy_fake_ner_factory():
+    """Slow-init NER factory; inference = the deterministic stand-in, so
+    documents match the default-seam goldens exactly."""
+    from . import extract_entities
+
+    _record_init("ner")
+    return extract_entities
+
+
+def heavy_fake_embed_factory():
+    """Slow-init embedding factory; inference = the deterministic
+    stand-in embedder."""
+    from . import embed_text
+
+    _record_init("embed")
+    return embed_text

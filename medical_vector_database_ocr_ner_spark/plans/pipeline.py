@@ -19,7 +19,8 @@ if TYPE_CHECKING:
 
 
 def build_embeddings(
-    documents: "DataFrame", carry_cols: list[str] | None = None
+    documents: "DataFrame", carry_cols: list[str] | None = None,
+    models=None,
 ) -> "DataFrame":
     """documents → embeddings table (FIXTURES.md §3).
 
@@ -34,7 +35,11 @@ def build_embeddings(
     documents DataFrame is itself an unmaterialized extraction plan,
     carrying the columns here keeps extraction to ONE pass — a
     hydration join back against the same plan would recompute the whole
-    UDF stage for the second branch."""
+    UDF stage for the second branch.
+
+    models: optional core.models.ModelSeam — swaps a real embedding model
+    into the Arrow-batched stage (initialized once per worker for named
+    factories; see core/models.py)."""
     completed = documents.where(F.col("status") == "completed")
 
     doc_text = FX.document_text_col(
@@ -66,6 +71,12 @@ def build_embeddings(
         )
         .dropDuplicates(["vec_id"])
     )
+    if models is not None:
+        from ..operators.extraction import make_embed_udf
+
+        return unique.withColumn(
+            "embedding", make_embed_udf(models)(F.col("doc_text"))
+        )
     return unique.withColumn("embedding", embed_udf(F.col("doc_text")))
 
 

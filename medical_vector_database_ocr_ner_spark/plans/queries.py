@@ -206,19 +206,33 @@ ORACLE_POINT = "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id
 
 
 def q_events_minmax_by(spark, sf):
-    """T5 best/worst via max_by/min_by aggregates."""
+    """T5 best/worst via max_by/min_by aggregates.
+
+    Both engines pick an ARBITRARY row when the ordering value ties (at
+    sf0.1 several events share a group's min value and Spark/DuckDB chose
+    different winners). DuckDB's min_by/max_by can't order by a struct,
+    so break ties deterministically by folding (cents, event_id) into one
+    bigint key: value is cents-exact and event_id < 1e10 by fixture
+    design, so key = cents * 1e10 + event_id orders by value then id
+    without collisions (cents ≤ ~1e5 → key ≤ 1e15 < 2^63)."""
     ev = _t(spark, sf, "events")
+    key = (
+        F.round(F.col("value") * 100).cast("bigint") * F.lit(10_000_000_000)
+        + F.col("event_id")
+    )
     return ev.groupBy("event_type").agg(
-        F.max_by("event_id", "value").alias("max_value_event"),
-        F.min_by("event_id", "value").alias("min_value_event"),
+        F.max_by("event_id", key).alias("max_value_event"),
+        F.min_by("event_id", key).alias("min_value_event"),
         F.round(F.max("value"), 4).alias("max_value"),
     )
 
 
 ORACLE_MINMAX_BY = """
 SELECT event_type,
-       max_by(event_id, value) AS max_value_event,
-       min_by(event_id, value) AS min_value_event,
+       max_by(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000
+                        + event_id) AS max_value_event,
+       min_by(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000
+                        + event_id) AS min_value_event,
        round(max(value), 4) AS max_value
 FROM events GROUP BY event_type
 """
@@ -406,17 +420,35 @@ FROM events GROUP BY user_id, date_trunc('minute', ts)
 
 
 def q_hourly_event_stats(spark, sf):
-    """Tumbling 1-hour aggregate by type."""
+    """Tumbling 1-hour aggregate by type.
+
+    avg over doubles is summation-order-sensitive (Spark partial aggs vs
+    DuckDB parallel hash agg diverged 1 ulp at sf0.1 round(4) boundaries).
+    events.value is cents-exact (value*100 is integral for every fixture
+    row), so sum integer cents — associative, order-independent — and
+    divide once in double: bit-identical on any engine at any
+    parallelism."""
     ev = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.floor(
+                    F.sum(cents) / (F.lit(100.0) * F.count("*")) * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_value"),
+        )
     )
 
 
 ORACLE_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-       round(avg(value), 4) AS avg_value
+       floor(sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*))
+             * 10000 + 0.5) / 10000.0 AS avg_value
 FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
@@ -1009,15 +1041,26 @@ def q_rollup_event_stats(spark, sf):
     """ROLLUP grouping sets (free in Catalyst, exposed per SURVEY §2.5 note):
     (event_type, hour) → subtotals per type → grand total."""
     ev = _t(spark, sf, "events")
+    # exact integer-cents sum (value is cents-exact by fixture design):
+    # double sums are summation-order-sensitive across engines/parallelism
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
-        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"), "value")
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            cents.alias("cents"),
+        )
         .rollup("event_type", "hour")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("cents") / F.lit(100.0)).alias("sum_value"),
+        )
     )
 
 
 ORACLE_ROLLUP = """
-SELECT event_type, hour, count(*) AS n, round(sum(value), 4) AS sum_value
+SELECT event_type, hour, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM (SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events)
 GROUP BY ROLLUP (event_type, hour)
 """
@@ -1037,7 +1080,18 @@ def q_embedding_near_dups(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     pairs = embedding_cosine_dups(emb, threshold=0.3, n_bits=8, max_bucket=None)
-    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    # portable 4dp quantization: F.round uses Java HALF_UP on the double's
+    # shortest decimal repr while DuckDB rounds arithmetically — when the
+    # (bit-identical) 6dp cosine ends in 5 the two rules pick different
+    # sides (seen at sf0.1). floor(x*1e4 + 0.5) is the same integer op on
+    # the same bits in both engines.
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.floor(F.col("cosine") * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "cosine"
+        ),
+    )
 
 
 _NEAR_DUP_BITS_SQL = " + ".join(
@@ -1049,21 +1103,21 @@ WITH b AS (
 ), pairs AS (
   SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.embedding AS ea, y.embedding AS eb
   FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-), flat AS (
-  SELECT id_a, id_b,
-         unnest(ea) AS va, generate_subscripts(ea, 1) AS i
-  FROM pairs
-), flatb AS (
-  SELECT id_a, id_b,
-         unnest(eb) AS vb, generate_subscripts(eb, 1) AS i
-  FROM pairs
 ), dots AS (
-  SELECT f.id_a, f.id_b,
-         round(sum(CAST(f.va AS DOUBLE) * CAST(g.vb AS DOUBLE)), 6) AS cosine
-  FROM flat f JOIN flatb g ON f.id_a = g.id_a AND f.id_b = g.id_b AND f.i = g.i
-  GROUP BY f.id_a, f.id_b
+  -- sequential left fold, NOT an unnest+SUM: DuckDB parallelizes GROUP BY
+  -- sums at larger row counts, and double addition isn't associative —
+  -- at sf0.1 three pairs drifted 1 ulp from Spark's F.aggregate fold.
+  -- list_reduce replays Spark's exact index-order addition sequence.
+  SELECT id_a, id_b,
+         round(list_reduce(
+             list_transform(list_zip(ea, eb),
+                            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+             (acc, v) -> acc + v
+         ), 6) AS cosine
+  FROM pairs
 )
-SELECT id_a, id_b, round(cosine, 4) AS cosine FROM dots WHERE cosine >= 0.3
+SELECT id_a, id_b, floor(cosine * 10000 + 0.5) / 10000.0 AS cosine
+FROM dots WHERE cosine >= 0.3
 """
 
 

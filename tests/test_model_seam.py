@@ -3,6 +3,7 @@ into the Arrow-batched stages must initialize it once per partition (local
 factories) / once per worker (named factories) — never per batch or row."""
 
 import functools
+import os
 
 from pyspark.sql import functions as F
 
@@ -175,3 +176,64 @@ class TestMultimodalDecoderSeam:
                image_features(media, decoder_factory).collect()}
         assert got["a"]["width"] == 11 and got["a"]["error"] is None
         assert got["b"]["width"] is None and "not my format" in got["b"]["error"]
+
+
+class TestSeamEndToEnd:
+    """VERDICT r2 item 6: the once-per-worker amortization must hold in the
+    REAL pages→documents→embeddings DAG, not just the unit seam — a heavy
+    (slow-init) named factory swapped into both UDF stages at sf0.01 scale
+    initializes at most once per Python worker while the outputs stay
+    byte-identical to the default-seam run."""
+
+    def test_heavy_fake_amortized_across_full_dag(self, spark, tmp_path):
+        from medical_vector_database_ocr_ner_spark.core import testing as hvy
+        from medical_vector_database_ocr_ner_spark.core.models import ModelSeam
+        from medical_vector_database_ocr_ner_spark.operators.extraction import (
+            extract_documents,
+        )
+        from medical_vector_database_ocr_ner_spark.plans.pipeline import (
+            build_embeddings,
+        )
+        from medical_vector_database_ocr_ner_spark.sources.pages import pages_path
+
+        pages = spark.read.parquet(pages_path(2000))  # sf0.01 pages table
+        n_parts = 16  # many more partitions than workers
+        seam = ModelSeam(
+            ner_factory=hvy.heavy_fake_ner_factory,
+            embed_factory=hvy.heavy_fake_embed_factory,
+        )
+
+        marker = tmp_path / "inits.log"
+        with open(hvy.POINTER_PATH, "w") as f:
+            f.write(str(marker))
+        try:
+            docs = extract_documents(pages, num_partitions=n_parts, models=seam)
+            emb = build_embeddings(docs, models=seam)
+            got = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        finally:
+            os.remove(hvy.POINTER_PATH)
+
+        # byte-identical to the default-seam pipeline
+        want_docs = extract_documents(pages, num_partitions=n_parts)
+        want = {
+            r["vec_id"]: r["embedding"]
+            for r in build_embeddings(want_docs).collect()
+        }
+        assert got == want
+        assert len(got) > 1000  # sf0.01: ~2k pages, most extract
+
+        inits = marker.read_text().splitlines()
+        by_stage = {}
+        for line in inits:
+            tag, pid = line.split(":")
+            by_stage.setdefault(tag, set()).add(pid)
+        # local[4] → ≤4 reused Python workers per stage (allow 2x slack
+        # for worker respawn); FAR below the 16 partitions either stage ran
+        n_workers = 4
+        for tag, pids in by_stage.items():
+            stage_inits = sum(1 for ln in inits if ln.startswith(tag + ":"))
+            assert stage_inits <= 2 * n_workers, (
+                f"{tag}: {stage_inits} inits — heavy init not amortized"
+            )
+            assert stage_inits < n_parts
+        assert set(by_stage) == {"ner", "embed"}
