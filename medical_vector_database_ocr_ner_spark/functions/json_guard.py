@@ -131,6 +131,84 @@ def json_violation_udf(texts: pd.Series) -> pd.Series:
     return texts.map(validate_json_text, na_action="ignore")
 
 
+# --- tiered validation: settle natively, recurse only when needed ----------
+# A payload is settled-VALID by the declarative tier only when every check
+# the recursive walk would run is provably clean from native expressions:
+# parseable, root is an object, flat (brace counting — strings containing
+# braces route to the UDF, conservatively), ≤10000 chars (bounds every
+# string value), key count/length/suspicion via json_object_keys, no
+# XSS-ish content anywhere in the raw text, and no numeric token that
+# could exceed 1e15 (16+ digit runs or exponent notation route to the
+# UDF). Settled-INVALID covers only the two verdicts no earlier check can
+# preempt in the reference's first-violation DFS order: the byte-size gate
+# and parse failure. Everything else keeps its exact first-violation
+# semantics by going through the recursive Arrow UDF.
+
+_BIG_NUMBER_RE = "[0-9]{16,}|[eE][+-]?[0-9]"
+
+
+def _tier_cols(json_col: str):
+    """(settled, native_error) column pair for the declarative tier."""
+    js = F.col(json_col)
+    ks = F.json_object_keys(js)
+    too_big = F.octet_length(js) > MAX_BODY_BYTES
+    parses = F.try_parse_json(js).isNotNull()
+    keys_sql = ",".join(f"'{k}'" for k in sorted(SUSPICIOUS_KEYS))
+    flat_clean_object = (
+        js.rlike(r"^\s*\{")
+        & (F.length(js) - F.length(F.replace(js, F.lit("{"), F.lit(""))) == 1)
+        & ~js.contains("[")
+        & (F.length(js) <= MAX_STR_LEN)
+        & (F.size(ks) <= MAX_DICT_KEYS)
+        & (
+            F.coalesce(
+                F.expr(f"array_max(transform(json_object_keys({json_col}),"
+                       f" x -> length(x)))") <= MAX_KEY_LEN,
+                F.lit(True),  # empty object: no keys to be too long
+            )
+        )
+        & ~F.expr(
+            f"exists(json_object_keys({json_col}), x -> lower(x) IN ({keys_sql}))"
+        )
+        & ~js.rlike("(?i)(" + "|".join(DANGEROUS_CONTENT_PATTERNS) + ")")
+        & ~js.rlike(_BIG_NUMBER_RE)
+    )
+    settled = (
+        js.isNull() | too_big | ~parses | flat_clean_object
+    )
+    native_error = (
+        F.when(js.isNull(), F.lit(None).cast("string"))
+        .when(too_big, F.lit("Request body too large"))
+        .when(~parses, F.lit("Invalid JSON format"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return settled, native_error
+
+
+def validate_json_tiered(
+    df: "DataFrame", json_col: str, error_col: str = "json_error",
+    settled_col: str | None = None,
+) -> "DataFrame":
+    """Adds ``error_col`` with EXACTLY json_violation_udf's semantics, but
+    rows the declarative tier settles cost no Python recursion: their
+    payload is nulled before the UDF boundary (validate_json_text(None)
+    short-circuits), so the Arrow transfer carries nulls and the workers
+    only walk genuinely ambiguous payloads. Pass ``settled_col`` to also
+    keep the tier flag — that is the measurement hook for what fraction
+    of a corpus the native tier handles (PLANS.md: 100% of the 100k
+    sf0.1 events.props rows settle natively, 0 verdict mismatches vs the
+    pure-UDF path; the hostile probes route to the UDF as designed)."""
+    settled, native_error = _tier_cols(json_col)
+    masked = F.when(settled, F.lit(None)).otherwise(F.col(json_col))
+    out = df.withColumn(
+        error_col,
+        F.when(settled, native_error).otherwise(json_violation_udf(masked)),
+    )
+    if settled_col is not None:
+        out = out.withColumn(settled_col, settled)
+    return out
+
+
 def split_quarantine(
     df: "DataFrame", json_col: str, error_col: str = "json_error",
 ) -> tuple["DataFrame", "DataFrame"]:

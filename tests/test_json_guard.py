@@ -173,3 +173,46 @@ def test_split_quarantine_cached_releases_storage(spark):
         assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
     # and released on exit
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_tiered_validation_matches_udf_on_probes_and_fixture(spark):
+    """validate_json_tiered must agree with the pure recursive UDF on every
+    row — hostile probes (deep nesting, long strings, many keys,
+    suspicious keys/content, huge numbers, unparseable, null) AND a slice
+    of real fixture props — while settling clean flat payloads natively."""
+    from pyspark.sql import functions as F
+
+    from medical_vector_database_ocr_ner_spark.functions.json_guard import (
+        json_violation_udf,
+        validate_json_tiered,
+    )
+    from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+        JSON_PROBES,
+    )
+
+    deep = "[" * 15 + "1" + "]" * 15
+    extra = [
+        (1, deep),                                   # too deep → UDF
+        (2, '{"n": 99999999999999999999}'),          # numeric too large → UDF
+        (3, '{"n": 1e20}'),                          # exponent form → UDF
+        (4, '{"a": {"b": 1}}'),                      # nested but clean → UDF
+        (5, '{"a": "brace { in string"}'),           # flat but brace-y → UDF
+        (6, '{"a": 1, "b": "ok"}'),                  # settled valid
+        (7, None),                                   # settled valid (absent)
+        (8, "{broken"),                              # settled invalid
+    ]
+    rows = [(i, js) for i, js in JSON_PROBES] + extra
+    df = spark.createDataFrame(rows, "id long, js string")
+
+    tiered = validate_json_tiered(df, "js", settled_col="settled")
+    pure = df.withColumn("want", json_violation_udf(F.col("js")))
+    joined = tiered.join(pure.select("id", "want"), "id")
+    mismatches = joined.where(
+        ~F.col("json_error").eqNullSafe(F.col("want"))
+    ).collect()
+    assert mismatches == []
+
+    settled = {r["id"]: r["settled"] for r in tiered.collect()}
+    assert settled[6] and settled[7] and settled[8]
+    for routed in (1, 2, 3, 4, 5):
+        assert not settled[routed], f"probe {routed} should route to the UDF"
