@@ -1390,6 +1390,11 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "simhash16",
     "user_sessions",
+    # tier 2b — new in round 3 (webtext training-pipeline wave)
+    "gopher_quality_flags",
+    "chunk_dedup_docs",
+    "host_stats_salted",
+    "length_outliers_by_lang",
     # tier 3 — double-green anchors (r1 AND r2) filling the 50-row window
     "pricing_summary",
     "knn_hydrated",

@@ -1124,6 +1124,244 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     ),
 }
 
+# === webtext training-pipeline wave (round 3) ===============================
+# Quality filtering and dedup shapes an LLM-data pipeline runs over raw web
+# text (Gopher-style repetition/format rules, CCNet-style chunk dedup,
+# per-domain stats, per-language length outliers). All native DataFrame —
+# exact integer/ratio arithmetic so the DuckDB mirrors hash-match.
+
+
+def q_gopher_quality_flags(spark, sf):
+    """Gopher-style per-document quality signals (Rae et al. 2021 §A1.1,
+    adapted to the fixture's line-less word stream): word count bounds,
+    mean word length, alphabetic-word fraction, and the top-2-gram
+    repetition fraction; ``keep`` is the conjunctive training-set filter.
+    Two keyed shuffles on the exploded 2-gram table (count per (doc,gram),
+    then per-doc max/total) — both map-side combinable, no windows over
+    the corpus, holds at any scale."""
+    docs = _t(spark, sf, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws)
+    mean_wlen = (F.length("text") - (n_words - 1)) / n_words
+    alpha_frac = (
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+    )
+    grams = (
+        docs.where(F.size(ws) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(element_at(split(text, ' '), i), ' ', "
+                    "element_at(split(text, ' '), i + 1)))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2"), F.sum("c").alias("tot2"))
+    )
+    out = base.join(grams, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        (F.col("top2") / F.col("tot2")).alias("top2_frac"),
+    )
+    keep = (
+        F.col("n_words").between(40, 1000)
+        & F.col("mean_word_len").between(2.0, 12.0)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("top2_frac") <= 0.2)
+    )
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+ORACLE_GOPHER = """
+WITH ws AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id, len(w) AS n_words,
+         (length(text) - (len(w) - 1)) / CAST(len(w) AS DOUBLE)
+             AS mean_word_len,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+             / CAST(len(w) AS DOUBLE) AS alpha_frac
+  FROM ws
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM ws WHERE len(w) >= 2
+), gcounts AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+), g AS (
+  SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS tot2
+  FROM gcounts GROUP BY 1
+)
+SELECT base.doc_id, n_words, mean_word_len, alpha_frac,
+       top2 / CAST(tot2 AS DOUBLE) AS top2_frac,
+       coalesce(
+         n_words BETWEEN 40 AND 1000
+         AND mean_word_len BETWEEN 2.0 AND 12.0
+         AND alpha_frac >= 0.8
+         AND top2 / CAST(tot2 AS DOUBLE) <= 0.2,
+         false) AS keep
+FROM base LEFT JOIN g ON base.doc_id = g.doc_id
+"""
+
+
+def q_chunk_dedup_docs(spark, sf):
+    """CCNet-style chunk-level exact dedup signal: split each document
+    into non-overlapping 8-word chunks, hash them, and report per doc how
+    many of its chunks appear more than once in the corpus. One shuffle on
+    the 32-hex chunk hash (window count), one per-doc agg — key size is
+    constant, no text travels twice."""
+    docs = _t(spark, sf, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(floor((size(split(text, ' ')) - 1) / 8)"
+                " AS INT)), i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8)))"
+            )
+        ).alias("chunk"),
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    w = Window.partitionBy("h")
+    tagged = chunks.withColumn("n_global", F.count("*").over(w))
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_global") > 1, 1).otherwise(0)).cast(
+                "bigint"
+            ).alias("dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            (F.col("dup_chunks") / F.col("n_chunks")).alias("dup_frac"),
+        )
+    )
+
+
+ORACLE_CHUNK_DEDUP = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(
+             range(0, CAST(floor((len(w) - 1) / 8) AS BIGINT) + 1),
+             i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')
+         ))) AS h
+  FROM ws
+), tagged AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY h) AS n_global FROM chunks
+)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_chunks,
+       sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM tagged GROUP BY doc_id
+"""
+
+
+def q_host_stats_salted(spark, sf):
+    """Per-domain corpus stats over the (host-skewed) pages table with an
+    explicit two-stage salted aggregation: partial agg on (host, salt of
+    url-hash) spreads host0's 35% of all rows across 16 reducers before
+    the tiny per-host final agg — the shape the 10^12-row north rule
+    demands for skewed domains. n_langs stays exact via a keyed
+    (host, lang) distinct instead of a count_distinct hot key."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    salted = pages.select(
+        host.alias("host"),
+        F.pmod(F.xxhash64("url"), F.lit(16)).alias("_salt"),
+        F.octet_length("html").alias("b"),
+    )
+    partial = salted.groupBy("host", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("b").alias("pb")
+    )
+    stats = partial.groupBy("host").agg(
+        F.sum("pn").alias("n_pages"),
+        F.sum("pb").alias("total_html_bytes"),
+    )
+    langs = (
+        pages.select(host.alias("host"), "lang")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").alias("n_langs"))
+    )
+    return stats.join(langs, "host")
+
+
+# The pages table is generated (deterministically) under /tmp by the Spark
+# query itself before the oracle runs; the glob + filename filter picks the
+# slice whose size matches the current sf (same orders-count inference as
+# the golden oracles in plans/queries.py).
+from .queries import _SF_TO_N_PAGES_SQL as _N_PAGES_SQL
+
+ORACLE_HOST_STATS = f"""
+SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+       count(*) AS n_pages,
+       CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes,
+       count(DISTINCT lang) AS n_langs
+FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+                  filename=true)
+WHERE filename LIKE
+      '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+GROUP BY 1
+"""
+
+
+def q_length_outliers_by_lang(spark, sf):
+    """Per-language length-outlier filter (drop the shortest/longest 5%
+    within each language): exact percent_rank over a window partitioned by
+    lang — bounded partitions (one language's docs), deterministic under
+    ties because rank depends only on n_chars."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    pr = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id", "lang", "n_chars", pr.alias("length_pr")
+    ).withColumn(
+        "keep", (F.col("length_pr") >= 0.05) & (F.col("length_pr") <= 0.95)
+    )
+
+
+ORACLE_LENGTH_OUTLIERS = """
+SELECT doc_id, lang, n_chars,
+       percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS length_pr,
+       percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) >= 0.05
+       AND percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) <= 0.95
+           AS keep
+FROM documents
+"""
+
+
+WEB_QUERIES: dict[str, QuerySpec] = {
+    "gopher_quality_flags": QuerySpec(q_gopher_quality_flags, ORACLE_GOPHER),
+    "chunk_dedup_docs": QuerySpec(q_chunk_dedup_docs, ORACLE_CHUNK_DEDUP),
+    "host_stats_salted": QuerySpec(q_host_stats_salted, ORACLE_HOST_STATS),
+    "length_outliers_by_lang": QuerySpec(
+        q_length_outliers_by_lang, ORACLE_LENGTH_OUTLIERS
+    ),
+}
+EXT_QUERIES.update(WEB_QUERIES)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path

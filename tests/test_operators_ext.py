@@ -762,3 +762,80 @@ class TestMergeSwapAside:
             os.path.join(path, f".old-{bucket}-deadbeef"),
         )
         assert read_merge_table(spark, path).count() == 50  # no duplicates
+
+
+class TestWebtextWave:
+    """Round-3 webtext training-pipeline queries (gopher flags, chunk
+    dedup, salted host stats, length outliers) — oracle-gated for values;
+    these tests pin the operator-level properties the gate can't see."""
+
+    def test_host_stats_salted_equals_direct_groupby(self, spark, pages_df):
+        """The two-stage salted aggregation must be row-identical to the
+        naive single groupBy on the skewed fixture."""
+        from pyspark.sql import functions as F
+
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_host_stats_salted,
+        )
+
+        host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+        direct = (
+            pages_df.groupBy(host.alias("host"))
+            .agg(
+                F.count("*").alias("n_pages"),
+                F.sum(F.octet_length("html")).alias("total_html_bytes"),
+                F.count_distinct("lang").alias("n_langs"),
+            )
+        )
+        got = q_host_stats_salted(spark, "/root/testdata/sf0.001")
+        want = {r["host"]: (r["n_pages"], r["total_html_bytes"], r["n_langs"])
+                for r in direct.collect()}
+        # fixture pages_df is the n=200 table; q uses sf0.001 → n=200 too
+        res = {r["host"]: (r["n_pages"], r["total_html_bytes"], r["n_langs"])
+               for r in got.collect()}
+        assert res == want
+
+    def test_chunk_dedup_flags_copied_docs(self, spark, tmp_path):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_chunk_dedup_docs,
+        )
+
+        words = " ".join(f"w{i}" for i in range(32))  # 4 exact 8-word chunks
+        rows = [
+            (1, words, "en", "s", len(words)),
+            (2, words, "en", "s", len(words)),          # full copy of 1
+            (3, "totally different words here now", "en", "s", 33),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        sf_dir = str(tmp_path)
+        df.write.parquet(f"{sf_dir}/documents.parquet")
+        out = {r["doc_id"]: r for r in q_chunk_dedup_docs(spark, sf_dir).collect()}
+        assert out[1]["n_chunks"] == 4 and out[1]["dup_frac"] == 1.0
+        assert out[2]["dup_frac"] == 1.0
+        assert out[3]["dup_chunks"] == 0 and out[3]["dup_frac"] == 0.0
+
+    def test_gopher_flags_rejects_repetitive_doc(self, spark, tmp_path):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_gopher_quality_flags,
+        )
+
+        good = " ".join(f"word{i % 37} token{i % 11}" for i in range(40))
+        spam = " ".join("buy now" for _ in range(50))  # one dominant 2-gram
+        short = "too short"
+        rows = [
+            (1, good, "en", "s", len(good)),
+            (2, spam, "en", "s", len(spam)),
+            (3, short, "en", "s", len(short)),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        sf_dir = str(tmp_path)
+        df.write.parquet(f"{sf_dir}/documents.parquet")
+        out = {r["doc_id"]: r for r in q_gopher_quality_flags(spark, sf_dir).collect()}
+        assert out[1]["keep"] is True
+        assert out[2]["keep"] is False          # top2_frac ≈ 0.5 > 0.2
+        assert out[2]["top2_frac"] > 0.2
+        assert out[3]["keep"] is False          # n_words below bound
