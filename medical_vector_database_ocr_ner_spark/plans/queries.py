@@ -1395,6 +1395,14 @@ DRIVER_PRIORITY: list[str] = [
     "chunk_dedup_docs",
     "host_stats_salted",
     "length_outliers_by_lang",
+    "rare_token_fraction",
+    "test_set_decontamination",
+    "latest_snapshot_per_url",
+    # tier 2c — semantics changed in round 3 (scale-divergence fixes):
+    # their r1/r2 green rows verified the OLD form, so re-verify the new
+    "events_minmax_by",
+    "hourly_event_stats",
+    "rollup_event_stats",
     # tier 3 — double-green anchors (r1 AND r2) filling the 50-row window
     "pricing_summary",
     "knn_hydrated",

@@ -1351,12 +1351,187 @@ FROM documents
 """
 
 
+def q_rare_token_fraction(spark, sf):
+    """CCNet-style LM-quality proxy without the float hazard: per doc, the
+    fraction of token occurrences whose corpus document frequency is below
+    a rarity bound (perplexity filters rank docs by how surprising their
+    tokens are; rare-token mass is the integer-exact analog, portable
+    across engines where a sum of log-probs is not). Plan: one df agg over
+    distinct (doc, token), broadcast-join the rare set back to the token
+    stream, one per-doc agg — all keyed, map-side combinable."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    df_counts = (
+        toks.distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    )
+    rare = df_counts.where(F.col("df") <= 20).select("tok")
+    flagged = toks.join(F.broadcast(rare).withColumn("is_rare", F.lit(1)),
+                        "tok", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("is_rare"), F.lit(0))).cast("bigint")
+            .alias("rare_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rare_tokens",
+            (F.col("rare_tokens") / F.col("n_tokens")).alias("rare_frac"),
+        )
+    )
+
+
+ORACLE_RARE_TOKENS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), dfc AS (
+  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks)
+  GROUP BY tok
+), rare AS (
+  SELECT tok FROM dfc WHERE df <= 20
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN rare.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS rare_tokens,
+       sum(CASE WHEN rare.tok IS NOT NULL THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE) AS rare_frac
+FROM toks LEFT JOIN rare ON toks.tok = rare.tok
+GROUP BY doc_id
+"""
+
+
+def q_test_set_decontamination(spark, sf):
+    """Train/test decontamination (GPT-3 appendix C shape): flag every
+    training document sharing any 5-word shingle with the held-out test
+    split (deterministic split: doc_id % 97 == 0 is 'test'). Shingles of
+    the small test side broadcast; the train side left-semi-joins on the
+    shingle string — no pair materialization, no all-pairs."""
+    docs = _t(spark, sf, "documents")
+    is_test = (F.col("doc_id") % 97) == 0
+
+    def shingles(df):
+        # guard: Spark's sequence(1, 0) runs DESCENDING, so short docs
+        # must be filtered out rather than clamped
+        return df.where(F.size(F.split(F.col("text"), " ")) >= 5).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 4), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+                )
+            ).alias("sh"),
+        )
+
+    train_sh = shingles(docs.where(~is_test))
+    test_sh = shingles(docs.where(is_test)).select("sh").distinct()
+    contaminated = (
+        train_sh.join(F.broadcast(test_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.where(~is_test)
+        .select("doc_id")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATION = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w, doc_id % 97 = 0 AS is_test
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_test,
+         unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS s
+  FROM ws
+), test_sh AS (
+  SELECT DISTINCT s FROM sh WHERE is_test
+)
+SELECT ws.doc_id,
+       coalesce(EXISTS (
+         SELECT 1 FROM sh JOIN test_sh USING (s)
+         WHERE sh.doc_id = ws.doc_id AND NOT sh.is_test
+       ), false) AS contaminated
+FROM ws WHERE NOT is_test
+"""
+
+
+def q_latest_snapshot_per_url(spark, sf):
+    """Common-Crawl snapshot dedup: keep only the newest capture per url.
+    The fixture pages table has one capture per url, so the query first
+    builds a genuine multi-snapshot input (the JSON_PROBES pattern):
+    every third url gains a re-crawl one hour later with a different
+    lang marker, then a row_number window over (url, warc_ts DESC) keeps
+    the latest. Window partitions are per-url (tiny) — no skew at any
+    scale."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf).select("url", "warc_ts", "lang")
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+    recrawl = (
+        pages.where(page_no % 3 == 0)
+        .select(
+            "url",
+            (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+            F.lit("recrawl").alias("lang"),
+        )
+    )
+    snaps = pages.unionByName(recrawl)
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("url", "warc_ts", "lang")
+    )
+
+
+ORACLE_LATEST_SNAPSHOT = f"""
+WITH pages AS (
+  SELECT url, warc_ts, lang
+  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+                    filename=true)
+  WHERE filename LIKE
+        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+), snaps AS (
+  SELECT url, warc_ts, lang FROM pages
+  UNION ALL
+  SELECT url, warc_ts + INTERVAL 1 HOUR, 'recrawl'
+  FROM pages
+  -- TRY_CAST: urls without a digit suffix yield '' (→ NULL), mirroring
+  -- Spark's non-ANSI cast-to-null-then-filter behavior
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 3 = 0
+)
+SELECT url, warc_ts, lang FROM (
+  SELECT url, warc_ts, lang,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+  FROM snaps
+) WHERE rn = 1
+"""
+
+
 WEB_QUERIES: dict[str, QuerySpec] = {
     "gopher_quality_flags": QuerySpec(q_gopher_quality_flags, ORACLE_GOPHER),
     "chunk_dedup_docs": QuerySpec(q_chunk_dedup_docs, ORACLE_CHUNK_DEDUP),
     "host_stats_salted": QuerySpec(q_host_stats_salted, ORACLE_HOST_STATS),
     "length_outliers_by_lang": QuerySpec(
         q_length_outliers_by_lang, ORACLE_LENGTH_OUTLIERS
+    ),
+    "rare_token_fraction": QuerySpec(q_rare_token_fraction, ORACLE_RARE_TOKENS),
+    "test_set_decontamination": QuerySpec(
+        q_test_set_decontamination, ORACLE_DECONTAMINATION
+    ),
+    "latest_snapshot_per_url": QuerySpec(
+        q_latest_snapshot_per_url, ORACLE_LATEST_SNAPSHOT
     ),
 }
 EXT_QUERIES.update(WEB_QUERIES)

@@ -839,3 +839,59 @@ class TestWebtextWave:
         assert out[2]["keep"] is False          # top2_frac ≈ 0.5 > 0.2
         assert out[2]["top2_frac"] > 0.2
         assert out[3]["keep"] is False          # n_words below bound
+
+    def test_decontamination_flags_shared_shingle(self, spark, tmp_path):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_test_set_decontamination,
+        )
+
+        secret = "alpha beta gamma delta epsilon"  # the shared 5-gram
+        rows = [
+            (0, f"{secret} zeta eta theta", "en", "s", 40),       # test doc (0%97==0)
+            (1, f"prefix words {secret} suffix words", "en", "s", 40),  # leaks
+            (2, "completely clean training text with many words", "en", "s", 40),
+            (3, "tiny", "en", "s", 4),                            # <5 words: never flagged
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        sf_dir = str(tmp_path)
+        df.write.parquet(f"{sf_dir}/documents.parquet")
+        out = {r["doc_id"]: r["contaminated"]
+               for r in q_test_set_decontamination(spark, sf_dir).collect()}
+        assert 0 not in out                  # test split excluded from output
+        assert out == {1: True, 2: False, 3: False}
+
+    def test_latest_snapshot_keeps_recrawl(self, spark):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_latest_snapshot_per_url,
+        )
+
+        out = q_latest_snapshot_per_url(spark, "/root/testdata/sf0.001")
+        rows = out.collect()
+        # one row per url, and every url whose page number is %3==0 kept
+        # the one-hour-later recrawl
+        assert len(rows) == len({r["url"] for r in rows}) == 200
+        import re
+
+        def page_no(url):
+            m = re.search(r"(\d+)$", url)
+            return int(m.group(1)) if m else None  # some urls lack a suffix
+
+        recrawled = [r for r in rows if r["lang"] == "recrawl"]
+        assert recrawled and all(page_no(r["url"]) % 3 == 0 for r in recrawled)
+        n_expected = sum(
+            1 for r in rows
+            if page_no(r["url"]) is not None and page_no(r["url"]) % 3 == 0
+        )
+        assert len(recrawled) == n_expected
+
+    def test_rare_token_fraction_bounds(self, spark):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_rare_token_fraction,
+        )
+
+        rows = q_rare_token_fraction(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 500
+        assert all(0.0 <= r["rare_frac"] <= 1.0 for r in rows)
+        assert all(r["rare_tokens"] <= r["n_tokens"] for r in rows)
