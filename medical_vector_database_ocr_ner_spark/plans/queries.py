@@ -1398,6 +1398,9 @@ DRIVER_PRIORITY: list[str] = [
     "rare_token_fraction",
     "test_set_decontamination",
     "latest_snapshot_per_url",
+    # tier 2d — new in round 3, second session (webtext wave B)
+    "page_triage_native",
+    "url_canonical_dupes",
     # tier 2c — semantics changed in round 3 (scale-divergence fixes):
     # their r1/r2 green rows verified the OLD form, so re-verify the new
     "events_minmax_by",

@@ -1537,6 +1537,161 @@ WEB_QUERIES: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES)
 
 
+# === webtext wave B (round 3, second session) ================================
+# Two more shapes a Common-Crawl-scale pipeline runs before the expensive
+# extraction UDF: a fully-native page triage tier over the RAW html bytes,
+# and URL canonicalization dedup (the crawl-frontier collapse).
+
+
+def q_page_triage_native(spark, sf):
+    """Declarative page-level triage tier ahead of the Arrow extraction UDF
+    (the HTML analog of validate_json_tiered): native expressions on the
+    raw html bytes compute the block classifier's page-level signals —
+    anchor count, script count, markup-character share — so boilerplate-
+    only pages (no prose mass) settle without crossing the Python
+    boundary. Literal-substring counts use replace() arithmetic (zero
+    regex-dialect risk); only the tag strip uses a regex whose semantics
+    Java and RE2 share. One scan, zero shuffles, zero UDFs — the whole
+    tier stays inside WholeStageCodegen, so at 10^12 rows it is scan-bound.
+    Mirrors the reference's cheap-reject-before-OCR layering
+    (file_validation.py: early magic/size rejects before processing)."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    # byte-prefix kind check on the BINARY column (no lossy cast first):
+    # 0x3C = '<' — the html payloads; pdf/binary payloads go to the UDF
+    # branch unconditionally and are not triaged here
+    htmlish = pages.where(F.expr("startswith(html, X'3C')"))
+    s = F.col("html").cast("string")
+    n_anchor = (
+        (F.length(s) - F.length(F.replace(s, F.lit("<a href")))) / 7
+    ).cast("bigint")
+    n_script = (
+        (F.length(s) - F.length(F.replace(s, F.lit("<script")))) / 7
+    ).cast("bigint")
+    stripped = F.regexp_replace(s, "<[^>]*>", "")
+    feat = htmlish.select(
+        "url",
+        n_anchor.alias("n_anchor"),
+        n_script.alias("n_script"),
+        F.length(s).alias("html_chars"),
+        F.length(stripped).alias("text_chars"),
+    )
+    return feat.select(
+        "url",
+        "n_anchor",
+        "n_script",
+        "html_chars",
+        "text_chars",
+        (
+            (F.col("html_chars") - F.col("text_chars"))
+            / F.col("html_chars").cast("double")
+        ).alias("markup_frac"),
+        (F.col("text_chars") >= 200).alias("prose_keep"),
+    )
+
+
+ORACLE_PAGE_TRIAGE = f"""
+WITH pages AS (
+  SELECT url, decode(html) AS s
+  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+                    filename=true)
+  WHERE filename LIKE
+        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+    AND substr(hex(html), 1, 2) = '3C'
+), feat AS (
+  SELECT url,
+         CAST((length(s) - length(replace(s, '<a href', ''))) / 7 AS BIGINT)
+             AS n_anchor,
+         CAST((length(s) - length(replace(s, '<script', ''))) / 7 AS BIGINT)
+             AS n_script,
+         length(s) AS html_chars,
+         length(regexp_replace(s, '<[^>]*>', '', 'g')) AS text_chars
+  FROM pages
+)
+SELECT url, n_anchor, n_script, html_chars, text_chars,
+       (html_chars - text_chars) / CAST(html_chars AS DOUBLE) AS markup_frac,
+       text_chars >= 200 AS prose_keep
+FROM feat
+"""
+
+
+def q_url_canonical_dupes(spark, sf):
+    """Crawl-frontier URL canonicalization dedup: scheme-case, host-case,
+    tracking-parameter, fragment, and trailing-slash variants of the same
+    resource collapse to one canonical key. The fixture's urls are already
+    clean, so the query first synthesizes the variant traffic (the
+    JSON_PROBES pattern): every fifth url gains an
+    'HTTP://UPPERHOST…?utm_source=rss#frag' duplicate. One groupBy on the
+    canonical string — key is bounded by url length, distribution is as
+    uniform as the crawl itself, no skew beyond what host_stats_salted
+    already handles."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf).select("url")
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    path = F.regexp_extract("url", r"^https?://[^/]+(.*)$", 1)
+    variants = pages.where(page_no % 5 == 0).select(
+        F.concat(
+            F.lit("HTTP://"), F.upper(host), path, F.lit("?utm_source=rss#frag")
+        ).alias("url")
+    )
+    allu = pages.unionByName(variants)
+    # canonicalization ladder (each step a single anchored match — Spark's
+    # replace-all and DuckDB's replace-first agree when ≤1 match exists)
+    u1 = F.regexp_replace(F.col("url"), "#.*$", "")
+    u2 = F.regexp_replace(u1, r"\?utm_[^#]*$", "")
+    h2 = F.lower(F.regexp_extract(u2, "^[hH][tT][tT][pP][sS]?://([^/]+)", 1))
+    p2 = F.regexp_extract(u2, "^[hH][tT][tT][pP][sS]?://[^/]+(.*)$", 1)
+    canon = F.concat(F.lit("https://"), h2, F.regexp_replace(p2, "/$", ""))
+    return (
+        allu.select(canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_variants"))
+    )
+
+
+ORACLE_URL_CANON = f"""
+WITH pages AS (
+  SELECT url
+  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+                    filename=true)
+  WHERE filename LIKE
+        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+), allu AS (
+  SELECT url FROM pages
+  UNION ALL
+  SELECT 'HTTP://' || upper(regexp_extract(url, '^https?://([^/]+)', 1))
+         || regexp_extract(url, '^https?://[^/]+(.*)$', 1)
+         || '?utm_source=rss#frag'
+  FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 5 = 0
+), canon AS (
+  SELECT 'https://'
+         || lower(regexp_extract(
+                regexp_replace(regexp_replace(url, '#.*$', ''),
+                               '\\?utm_[^#]*$', ''),
+                '^[hH][tT][tT][pP][sS]?://([^/]+)', 1))
+         || regexp_replace(
+                regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$', ''),
+                                   '\\?utm_[^#]*$', ''),
+                    '^[hH][tT][tT][pP][sS]?://[^/]+(.*)$', 1),
+                '/$', '') AS canon_url
+  FROM allu
+)
+SELECT canon_url, count(*) AS n_variants FROM canon GROUP BY 1
+"""
+
+
+WEB_QUERIES_B: dict[str, QuerySpec] = {
+    "page_triage_native": QuerySpec(q_page_triage_native, ORACLE_PAGE_TRIAGE),
+    "url_canonical_dupes": QuerySpec(q_url_canonical_dupes, ORACLE_URL_CANON),
+}
+EXT_QUERIES.update(WEB_QUERIES_B)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path

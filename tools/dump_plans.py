@@ -65,6 +65,11 @@ SELECTED = [
      "Flat-JSON redaction as pure expressions: from_json map + "
      "explode + native EXISTS over the sensitive-substring array — "
      "a generate/project-only plan, no shuffle at all."),
+    ("page_triage_native",
+     "The HTML triage tier: one FileScan of the raw pages, the byte-prefix "
+     "kind filter and every feature (replace-arithmetic substring counts, "
+     "tag-strip length) inside a single WholeStageCodegen project — zero "
+     "Exchange, zero Python; at 10^12 rows this tier is scan-bound."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
