@@ -1401,6 +1401,13 @@ DRIVER_PRIORITY: list[str] = [
     # tier 2d — new in round 3, second session (webtext wave B)
     "page_triage_native",
     "url_canonical_dupes",
+    # tier 2e — new in round 3, second session (webtext wave C); the three
+    # tier-3 anchors they displace from the 50-row window
+    # (exact_dedup_keeper, revenue_by_nation, ngram_jaccard_pairs) are all
+    # double-green (r1 AND r2), so union-coverage is preserved
+    "pii_scrub_docs",
+    "boilerplate_line_strip",
+    "domain_blocklist_filter",
     # tier 2c — semantics changed in round 3 (scale-divergence fixes):
     # their r1/r2 green rows verified the OLD form, so re-verify the new
     "events_minmax_by",

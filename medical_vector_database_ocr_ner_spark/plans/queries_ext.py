@@ -1692,6 +1692,252 @@ WEB_QUERIES_B: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_B)
 
 
+# === webtext wave C (round 3, second session) ================================
+# PII scrubbing, cross-document boilerplate-line removal, and domain
+# blocklist filtering — the remaining staples of a Common-Crawl training
+# pipeline that the earlier waves don't cover. Same deterministic-injection
+# pattern as url_canonical_dupes: the fixture corpus is clean, so each
+# query first synthesizes the condition it removes.
+
+# kept deliberately simple so Java (Spark) and RE2 (DuckDB) agree byte-
+# for-byte: character classes, bounded repetition, no backrefs/lookaround
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"555-[0-9]{4}"
+
+
+def q_pii_scrub_docs(spark, sf):
+    """PII scrubbing pass (C4/RefinedWeb-style pre-training hygiene):
+    count and redact e-mail addresses and phone numbers to [EMAIL] /
+    [PHONE] placeholders. Every 7th doc first gains a deterministic
+    contact line (the fixture corpus is clean), so the scrubber has real
+    targets and the oracle pins exact counts + an md5 of the scrubbed
+    text. Pure per-row expressions — no shuffle at all; at 10^12 rows
+    this is a scan-bound map stage that fuses into whatever runs next.
+    Parity note: DuckDB regexp_replace is replace-FIRST by default, so
+    the oracle passes the 'g' flag to match Spark's replace-all."""
+    docs = _t(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" now."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return injected.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.length(scrubbed).cast("bigint").alias("scrub_chars"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'
+         ELSE text END AS text
+  FROM documents
+), scrub AS (
+  SELECT doc_id, text,
+         regexp_replace(
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+             '555-[0-9]{4}', '[PHONE]', 'g') AS s
+  FROM injected
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT)
+           AS n_phones,
+       CAST(length(s) AS BIGINT) AS scrub_chars,
+       md5(s) AS scrub_hash
+FROM scrub
+"""
+
+
+_BOILER_A = "subscribe to our newsletter for updates"
+_BOILER_B = "all rights reserved example corp"
+
+
+def q_boilerplate_line_strip(spark, sf):
+    """CCNet-style cross-document boilerplate-line removal: lines that
+    recur in ≥2% of DISTINCT documents are navigation/footer chrome, not
+    prose, and are stripped before training. The fixture has no newlines,
+    so 'lines' are the 10-word chunks of each doc, plus injected footer
+    lines (every 3rd doc gains a newsletter line, every 4th a copyright
+    line) appended with large position keys to preserve order. Plan
+    shape at 10^12 docs: one shuffle of (line, doc_id) for the distinct-
+    doc frequency, the frequent-line set is tiny (boilerplate by
+    definition) → broadcast hash join back, one per-doc agg to reassemble
+    the kept text in position order. No all-pairs anything."""
+    docs = _t(spark, sf, "documents")
+    organic = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST(floor((size(split(text, ' ')) - 1)"
+                " / 10) AS INT)), i -> concat_ws(' ',"
+                " slice(split(text, ' '), i * 10 + 1, 10)))"
+            )
+        ).alias("pos", "line"),
+    )
+    footer_a = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit(100000).alias("pos"), F.lit(_BOILER_A).alias("line")
+    )
+    footer_b = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.lit(100001).alias("pos"), F.lit(_BOILER_B).alias("line")
+    )
+    lines = organic.unionByName(footer_a).unionByName(footer_b)
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    boiler = (
+        freq.crossJoin(F.broadcast(n_docs))
+        .where(F.col("nd") >= 0.02 * F.col("n_docs"))
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line", "left")
+    kept_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct("pos", "line")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.when(F.col("is_boiler"), 1).otherwise(0)
+            ).cast("bigint").alias("n_boiler"),
+            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_boiler",
+            F.md5(
+                F.concat_ws("\n", F.expr("transform(kept, s -> s.line)"))
+            ).alias("kept_hash"),
+        )
+    )
+
+
+ORACLE_BOILER_STRIP = f"""
+WITH organic AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(floor((len(string_split(text, ' ')) - 1)
+                                 / 10) AS BIGINT) + 1),
+                   i -> struct_pack(
+                       pos := i,
+                       line := array_to_string(
+                           list_slice(string_split(text, ' '),
+                                      i * 10 + 1, i * 10 + 10), ' '))
+               )) AS u
+        FROM documents) t
+), lines AS (
+  SELECT * FROM organic
+  UNION ALL
+  SELECT doc_id, 100000, '{_BOILER_A}' FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 100001, '{_BOILER_B}' FROM documents WHERE doc_id % 4 = 0
+), freq AS (
+  SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+), boiler AS (
+  SELECT line FROM freq
+  WHERE nd >= 0.02 * (SELECT count(*) FROM documents)
+)
+SELECT l.doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler,
+       md5(coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                               chr(10) ORDER BY l.pos), '')) AS kept_hash
+FROM lines l LEFT JOIN boiler b ON l.line = b.line
+GROUP BY l.doc_id
+"""
+
+
+def q_domain_blocklist_filter(spark, sf):
+    """Crawl URL filtering against a domain blocklist (the C4 'bad
+    domains' gate): in production the blocklist is an external relation
+    of a few hundred thousand hosts, so the operator form is a BROADCAST
+    LEFT ANTI join on host — not a WHERE clause — and that is what this
+    query exercises. The blocklist here is derived deterministically
+    (every 13th host) so the oracle can rebuild it. Output is surviving
+    pages per host; at 10^12 rows the anti join is map-side (no shuffle
+    of the fact table) and the per-host agg is the only Exchange."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf).select(
+        F.col("url"),
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+    )
+    host_no = F.regexp_extract("host", r"host([0-9]+)", 1).cast("bigint")
+    blocklist = (
+        pages.select("host", host_no.alias("host_no"))
+        .where(F.col("host_no") % 13 == 0)
+        .select("host")
+        .distinct()
+    )
+    kept = pages.join(F.broadcast(blocklist), "host", "left_anti")
+    return kept.groupBy("host").agg(F.count("*").alias("n_kept"))
+
+
+ORACLE_BLOCKLIST = f"""
+WITH pages AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host
+  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+                    filename=true)
+  WHERE filename LIKE
+        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+), block AS (
+  SELECT DISTINCT host FROM pages
+  WHERE TRY_CAST(regexp_extract(host, 'host([0-9]+)', 1) AS BIGINT) % 13 = 0
+)
+SELECT host, count(*) AS n_kept
+FROM pages ANTI JOIN block USING (host)
+GROUP BY host
+"""
+
+
+WEB_QUERIES_C: dict[str, QuerySpec] = {
+    "pii_scrub_docs": QuerySpec(q_pii_scrub_docs, ORACLE_PII_SCRUB),
+    "boilerplate_line_strip": QuerySpec(
+        q_boilerplate_line_strip, ORACLE_BOILER_STRIP
+    ),
+    "domain_blocklist_filter": QuerySpec(
+        q_domain_blocklist_filter, ORACLE_BLOCKLIST
+    ),
+}
+EXT_QUERIES.update(WEB_QUERIES_C)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path

@@ -936,3 +936,75 @@ class TestWebtextWave:
         assert all(
             page_no(u) is not None and page_no(u) % 5 == 0 for u in dupes
         )
+
+    def test_pii_scrub_injects_and_redacts(self, spark):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_pii_scrub_docs,
+        )
+
+        rows = q_pii_scrub_docs(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 500
+        for r in rows:
+            if r["doc_id"] % 7 == 0:
+                # exactly one injected email + one injected phone found
+                assert r["n_emails"] == 1 and r["n_phones"] == 1
+            else:
+                assert r["n_emails"] == 0 and r["n_phones"] == 0
+            assert len(r["scrub_hash"]) == 32
+
+    def test_pii_scrub_redaction_is_complete(self, spark):
+        # drive the same expressions on a hostile literal frame: multiple
+        # PII hits per row must ALL be redacted (replace-all semantics)
+        from pyspark.sql import functions as F
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            PII_EMAIL_RE,
+            PII_PHONE_RE,
+        )
+
+        df = spark.createDataFrame(
+            [("a@b.co and c.d@e-f.org plus 555-0001 then 555-9999",)],
+            ["text"],
+        )
+        out = df.select(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), PII_EMAIL_RE, "[EMAIL]"),
+                PII_PHONE_RE,
+                "[PHONE]",
+            ).alias("s")
+        ).collect()[0]["s"]
+        assert out == "[EMAIL] and [EMAIL] plus [PHONE] then [PHONE]"
+
+    def test_boilerplate_strip_flags_injected_lines(self, spark):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_boilerplate_line_strip,
+        )
+
+        rows = q_boilerplate_line_strip(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) == 500
+        for r in rows:
+            expected = (1 if r["doc_id"] % 3 == 0 else 0) + (
+                1 if r["doc_id"] % 4 == 0 else 0
+            )
+            # organic 10-word chunks from the tiny fixture vocab can also
+            # cross the 2%-of-docs threshold; injected footers are a floor
+            assert r["n_boiler"] >= expected
+            assert r["n_lines"] > r["n_boiler"]
+            assert len(r["kept_hash"]) == 32
+
+    def test_domain_blocklist_removes_every_13th_host(self, spark):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_domain_blocklist_filter,
+        )
+
+        rows = q_domain_blocklist_filter(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        import re
+
+        assert rows
+        for r in rows:
+            m = re.match(r"host(\d+)\.", r["host"])
+            assert m and int(m.group(1)) % 13 != 0
+            assert r["n_kept"] > 0
