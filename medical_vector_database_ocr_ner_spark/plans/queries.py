@@ -1408,6 +1408,7 @@ DRIVER_PRIORITY: list[str] = [
     "pii_scrub_docs",
     "boilerplate_line_strip",
     "domain_blocklist_filter",
+    "token_shard_packing",
     # tier 2c — semantics changed in round 3 (scale-divergence fixes):
     # their r1/r2 green rows verified the OLD form, so re-verify the new
     "events_minmax_by",

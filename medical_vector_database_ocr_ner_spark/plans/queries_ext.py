@@ -1926,6 +1926,70 @@ GROUP BY host
 """
 
 
+def q_token_shard_packing(spark, sf):
+    """Token-budget shard packing: assign every document to a training
+    shard holding ≤4096 tokens (greedy start-offset rule), the step that
+    turns a filtered corpus into fixed-size training files. The scalable
+    encoding is a bucketed prefix sum: docs are spread over 32 hash
+    buckets (deterministic md5 of doc_id — re-shard-stable like
+    train_val_test_split), each bucket packs independently with one
+    bounded window (cumsum over the bucket's hash order), and the global
+    shard key is (bucket, local_shard). No global sort, no single-
+    partition window: at 10^12 docs the bucket count simply scales with
+    the cluster, and every window partition is 1/B of the corpus.
+    shard_id = floor((cumsum - n_tokens) / budget) places a doc by its
+    START offset, so a shard overflows by at most one document — the
+    standard greedy packing semantics."""
+    docs = _t(spark, sf, "documents")
+    budget = 4096
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("key"),
+    ).withColumn(
+        "bucket", F.pmod(F.conv(F.substring("key", 1, 6), 16, 10)
+                         .cast("bigint"), F.lit(32))
+    )
+    w = Window.partitionBy("bucket").orderBy("key")
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget).alias(
+            "local_shard"
+        ),
+    )
+    return packed.groupBy("bucket", "local_shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_SHARD_PACKING = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), bucketed AS (
+  SELECT *,
+         CAST(from_hex(substr(key, 1, 6))::BIT::BIGINT % 32 AS BIGINT)
+             AS bucket
+  FROM toks
+), packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY key)
+                     - n_tokens) / 4096) AS BIGINT) AS local_shard
+  FROM bucketed
+)
+SELECT bucket, local_shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc
+FROM packed GROUP BY bucket, local_shard
+"""
+
+
 WEB_QUERIES_C: dict[str, QuerySpec] = {
     "pii_scrub_docs": QuerySpec(q_pii_scrub_docs, ORACLE_PII_SCRUB),
     "boilerplate_line_strip": QuerySpec(
@@ -1933,6 +1997,9 @@ WEB_QUERIES_C: dict[str, QuerySpec] = {
     ),
     "domain_blocklist_filter": QuerySpec(
         q_domain_blocklist_filter, ORACLE_BLOCKLIST
+    ),
+    "token_shard_packing": QuerySpec(
+        q_token_shard_packing, ORACLE_SHARD_PACKING
     ),
 }
 EXT_QUERIES.update(WEB_QUERIES_C)

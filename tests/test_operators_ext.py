@@ -1008,3 +1008,30 @@ class TestWebtextWave:
             m = re.match(r"host(\d+)\.", r["host"])
             assert m and int(m.group(1)) % 13 != 0
             assert r["n_kept"] > 0
+
+    def test_token_shard_packing_respects_budget(self, spark):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_token_shard_packing,
+        )
+
+        rows = q_token_shard_packing(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert sum(r["n_docs"] for r in rows) == 500
+        by_bucket = {}
+        for r in rows:
+            assert 0 <= r["bucket"] < 32
+            by_bucket.setdefault(r["bucket"], []).append(r)
+        for bucket, shards in by_bucket.items():
+            shards.sort(key=lambda r: r["local_shard"])
+            # local shards are contiguous from 0
+            assert [s["local_shard"] for s in shards] == list(
+                range(len(shards))
+            )
+            # greedy start-offset rule: every shard except possibly the
+            # bucket's last holds > budget - max_doc tokens, and none
+            # exceeds budget by more than one document's tokens
+            for s in shards[:-1]:
+                assert s["shard_tokens"] > 4096 - 200
+            for s in shards:
+                assert s["shard_tokens"] <= 4096 + 200
