@@ -70,6 +70,20 @@ SELECTED = [
      "kind filter and every feature (replace-arithmetic substring counts, "
      "tag-strip length) inside a single WholeStageCodegen project — zero "
      "Exchange, zero Python; at 10^12 rows this tier is scan-bound."),
+    ("token_shard_packing",
+     "Bucketed prefix sum: ONE Exchange hashpartitioning(bucket) feeding "
+     "a bounded window (cumsum within each of 32 hash buckets — never a "
+     "single-partition global window), then the shard aggregation reuses "
+     "the same partitioning. Bucket count scales with the cluster."),
+    ("boilerplate_line_strip",
+     "Cross-doc frequent-line removal: the (line, doc) explode shuffles "
+     "once for the distinct-doc frequency; the frequent-line set (tiny by "
+     "definition) returns via BroadcastHashJoin; per-doc reassembly is "
+     "one keyed aggregation with position-ordered array_sort — no "
+     "all-pairs join anywhere."),
+    ("domain_blocklist_filter",
+     "Blocklist gate as BroadcastHashJoin LeftAnti — the fact table never "
+     "shuffles for the filter; the per-host count is the only Exchange."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
