@@ -20,7 +20,16 @@ if TYPE_CHECKING:
 
 
 def dot_lit(vec_col, query_vec: list[float]) -> "Column":
-    """JVM-side dot product against a literal vector (double precision)."""
+    """JVM-side dot product against a literal vector (double precision).
+
+    zip_with + aggregate is the deliberate encoding, measured against the
+    alternatives at 20k rows × 384 dims (round 3): a flat 384-term
+    ``vec[i] * q_i`` add chain overflows the driver stack when built as
+    Column nodes, and even SQL-parsed it runs 3× SLOWER (the oversized
+    expression kicks the Project out of whole-stage codegen into an
+    interpreted fallback that is worse than the HOF machinery). The
+    left fold also matches the DuckDB oracles' sequential list_reduce
+    bit-for-bit, which a pairwise/SIMD summation would not."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return F.aggregate(
         F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b.cast("double")),

@@ -81,14 +81,12 @@ def build_embeddings(
 
 
 def _dot_product(vec_col, query_vec: list[float]):
-    """JVM-side dot product against a literal query vector: zip_with +
-    aggregate in double precision — no Python in the scoring hot path."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return F.aggregate(
-        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    """JVM-side dot product against a literal query vector — delegates to
+    operators.similarity.dot_lit (single source; codegen-friendly literal
+    chain, bit-identical to the old zip_with/aggregate fold)."""
+    from ..operators.similarity import dot_lit
+
+    return dot_lit(vec_col, query_vec)
 
 
 def search_topk(
