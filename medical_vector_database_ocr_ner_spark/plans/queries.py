@@ -1409,6 +1409,14 @@ DRIVER_PRIORITY: list[str] = [
     "boilerplate_line_strip",
     "domain_blocklist_filter",
     "token_shard_packing",
+    # tier 2f — new in round 3, third session (webtext wave D); they take
+    # the window slots of pricing_summary / knn_hydrated / ann_topk_cosine,
+    # all double-green (r1 AND r2), so union-coverage is preserved.
+    # bloom_url_seen (wave D's fourth query) stays OUTSIDE the window by
+    # design — local gate + pytest cover it; rotate it in next round.
+    "pagerank_hosts",
+    "quality_linear_score",
+    "domain_cap_sample",
     # tier 2c — semantics changed in round 3 (scale-divergence fixes):
     # their r1/r2 green rows verified the OLD form, so re-verify the new
     "events_minmax_by",

@@ -2005,6 +2005,344 @@ WEB_QUERIES_C: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_C)
 
 
+# === webtext wave D: link graph, native model scoring, domain caps, =========
+# === Bloom frontier =========================================================
+
+_PAGES_REL = (
+    "read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',"
+    " filename=true)"
+)
+_PAGES_WHERE = (
+    "filename LIKE '%pages_n' || CAST(" + _N_PAGES_SQL + " AS VARCHAR)"
+    " || '_s42_v2.parquet%'"
+)
+
+_PR_SCALE = 10**12  # integer-scaled rank mass (exact in both engines)
+_PR_ITERS = 3
+
+
+def q_pagerank_hosts(spark, sf):
+    """Host-level PageRank over the crawl link graph — the canonical
+    iterative DataFrame algorithm (crawl prioritization / domain authority
+    for training-data curation). Link targets are synthesized
+    deterministically from the page id (the fixture's boilerplate anchors
+    are all same-host relative links), then aggregated to a weighted host
+    graph: the graph table is O(hosts²) regardless of corpus size, so the
+    per-iteration join/agg shuffles a tiny relation even at 10^12 pages.
+
+    Float PageRank sums diverge across engines (addition order), so ranks
+    are integer-scaled (_PR_SCALE total mass) and every step uses integer
+    division (`div` / `//`): contributions and damping round identically
+    in Spark and DuckDB, making 3 full iterations hash-exact. Top-10 uses
+    a (rank DESC, host) total order so the LIMIT cutoff is deterministic."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    src = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).cast("bigint")
+    links = pages.select(src.alias("src"), page_i.alias("i"))
+
+    def _dst(expr):
+        return F.concat(F.lit("host"), expr.cast("string"), F.lit(".example"))
+
+    edges = (
+        links.select("src", _dst((F.col("i") * 7 + 1) % 50).alias("dst"))
+        .unionByName(links.select("src", _dst(F.col("i") % 10).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # driver-side scalar (host count, not data-sized)
+    base = _PR_SCALE * 15 // (100 * n)
+    rank = nodes.select("host", F.lit(_PR_SCALE // n).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(outw, "src")
+            .join(rank.withColumnRenamed("host", "src"), "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("rank * w div out_w").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("m"))
+        )
+        rank = nodes.join(contrib, "host", "left").select(
+            "host",
+            (F.lit(base) + F.expr("coalesce(m, 0L) * 85 div 100")).alias(
+                "rank"
+            ),
+        )
+    return rank.orderBy(F.desc("rank"), "host").limit(10)
+
+
+_PR_BASE_SQL = (
+    f"(SELECT {_PR_SCALE} * 15 // (100 * count(*)) FROM nodes)"
+)
+
+
+def _pr_iter_cte(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT n.host, {_PR_BASE_SQL} + COALESCE(c.m, 0) * 85 // 100 AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS host,
+           CAST(sum(r.rank * e.w // o.out_w) AS BIGINT) AS m
+    FROM edges e JOIN outw o ON e.src = o.src
+                 JOIN {prev} r ON r.host = e.src
+    GROUP BY e.dst
+  ) c ON n.host = c.host
+)"""
+
+
+_PR_ITER_CTES = ",\n".join(
+    _pr_iter_cte(f"it{k - 1}" if k > 1 else "r0", f"it{k}")
+    for k in range(1, _PR_ITERS + 1)
+)
+
+ORACLE_PAGERANK = f"""
+WITH links AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS src,
+         CAST(regexp_extract(url, '([0-9]+)(\\.pdf)?$', 1) AS BIGINT) AS i
+  FROM {_PAGES_REL}
+  WHERE {_PAGES_WHERE}
+), raw AS (
+  SELECT src, 'host' || CAST((i * 7 + 1) % 50 AS VARCHAR) || '.example' AS dst
+  FROM links
+  UNION ALL
+  SELECT src, 'host' || CAST(i % 10 AS VARCHAR) || '.example' AS dst
+  FROM links
+), edges AS (
+  SELECT src, dst, count(*) AS w FROM raw WHERE src <> dst GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY 1
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), r0 AS (
+  SELECT host, {_PR_SCALE} // (SELECT count(*) FROM nodes) AS rank FROM nodes
+),
+{_PR_ITER_CTES}
+SELECT host, rank FROM it{_PR_ITERS} ORDER BY rank DESC, host LIMIT 10
+"""
+
+
+# fasttext-style hashed-feature linear scorer: one weight template, two
+# engine renderings — the weight table IS the hash arithmetic, so scoring
+# a token never touches a lookup table or a UDF.
+_W_TOKEN_TMPL = "((({h}) % 4096) * 2654435761) % 1001 - 500"
+_W_SPARK = _W_TOKEN_TMPL.format(
+    h="cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+)
+_W_DUCK = _W_TOKEN_TMPL.format(h=H60_SQL.format(x="t"))
+
+
+def q_quality_linear_score(spark, sf):
+    """Quality-classifier inference as a pure Spark expression: a
+    fasttext-style linear model over hashed bag-of-words features
+    (feature id = portable 60-bit token hash % 4096; weight = integer
+    hash of the feature id in [-500, 500]). The per-document score is a
+    HOF `aggregate` fold over split(text) — zero shuffle, zero Python,
+    whole-stage-codegen — so model scoring adds NOTHING to the corpus
+    pass at 10^12 docs; the only Exchange is the tiny (lang, keep)
+    summary agg. Integer weights keep the fold order-insensitive and
+    hash-exact across engines (a float dot product would not be)."""
+    docs = _t(spark, sf, "documents")
+    score = F.expr(
+        "aggregate(split(text, ' '), 0L, (acc, t) -> acc + " + _W_SPARK + ")"
+    )
+    return (
+        docs.select("lang", score.alias("score"))
+        .select("lang", (F.col("score") > 0).alias("keep"), "score")
+        .groupBy("lang", "keep")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("score").alias("sum_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+ORACLE_QUALITY_LINEAR = f"""
+WITH scored AS (
+  SELECT lang,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+                            t -> {_W_DUCK})),
+           (acc, v) -> acc + v) AS score
+  FROM documents
+)
+SELECT lang, score > 0 AS keep, count(*) AS n_docs,
+       CAST(sum(score) AS BIGINT) AS sum_score,
+       min(score) AS min_score, max(score) AS max_score
+FROM scored GROUP BY 1, 2
+"""
+
+
+_CAP_K = 100
+_SIG_MOD = 1_000_000_007
+
+
+def q_domain_cap_sample(spark, sf):
+    """C4-style per-domain page cap: keep at most _CAP_K pages per host,
+    chosen by a pure url-hash order (re-crawl-stable — the SAME pages
+    survive on every run and engine, unlike rand()-based sampling).
+    Scalable encoding is the two-stage rank from ann_batch_topk: stage 1
+    ranks within (host, salt-of-url) so a hot host's window partition is
+    1/16th of its rows; stage 2 ranks the ≤16·K survivors per host. The
+    result is row-identical to a single global per-host window (the salt
+    only partitions the candidate generation, never the final order), so
+    the oracle is the plain one-window form. kept_sig pins WHICH pages
+    survived (sum of key % {_SIG_MOD}), not just how many."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    keyed = pages.select(
+        host.alias("host"), "url", _h60(F.col("url")).alias("key")
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy("key", "url")
+    stage1 = (
+        keyed.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(16)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _CAP_K)
+    )
+    w2 = Window.partitionBy("host").orderBy("key", "url")
+    kept = (
+        stage1.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _CAP_K)
+    )
+    kept_stats = kept.groupBy("host").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("key") % _SIG_MOD).alias("kept_sig"),
+    )
+    totals = keyed.groupBy("host").agg(F.count("*").alias("n_total"))
+    return totals.join(kept_stats, "host").select(
+        "host", "n_total", "n_kept", "kept_sig"
+    )
+
+
+ORACLE_DOMAIN_CAP = f"""
+WITH keyed AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host, url,
+         {H60_SQL.format(x="url")} AS key
+  FROM {_PAGES_REL}
+  WHERE {_PAGES_WHERE}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY key, url) AS rn
+  FROM keyed
+)
+SELECT host, count(*) AS n_total,
+       CAST(sum(CASE WHEN rn <= {_CAP_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN rn <= {_CAP_K} THEN key % {_SIG_MOD} ELSE 0 END)
+            AS BIGINT) AS kept_sig
+FROM ranked GROUP BY host
+"""
+
+
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+
+def q_bloom_url_seen(spark, sf):
+    """Crawl-frontier 'seen URL' filter as a PORTABLE Bloom filter (the
+    sketch companion to hll_portable): k={_BLOOM_K} bit positions per url
+    from the 60-bit md5 hash, m={_BLOOM_M} bits. Build side = even page
+    ids, probe side = odd page ids, so every flagged probe is a measured
+    FALSE POSITIVE — the query reports the realized FP count against the
+    bit-occupancy that produced it. The bit set is ≤m rows regardless of
+    corpus size: it broadcasts to the probe side (map-side semi-join), so
+    at 10^12 urls the frontier check adds no shuffle to the probe scan —
+    the same replayable-sketch story as the HLL (any engine that can md5
+    can reproduce the exact same bits)."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).cast("bigint")
+    pos = F.array(
+        *[
+            F.pmod(
+                _h60(F.concat(F.col("url"), F.lit(f"#b{j}"))),
+                F.lit(_BLOOM_M),
+            )
+            for j in range(_BLOOM_K)
+        ]
+    )
+    tagged = pages.select(
+        "url", ((page_i % 2) == 0).alias("is_build"), pos.alias("pos")
+    )
+    bits = (
+        tagged.where("is_build")
+        .select(F.explode("pos").alias("bit"))
+        .distinct()
+    )
+    probes = tagged.where(~F.col("is_build")).select(
+        "url", F.explode("pos").alias("bit")
+    )
+    hits = (
+        probes.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left"
+        )
+        .groupBy("url")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nh"))
+    )
+    summary = hits.agg(
+        F.count("*").alias("n_probes"),
+        F.sum((F.col("nh") == _BLOOM_K).cast("bigint")).alias("n_flagged"),
+    )
+    return summary.crossJoin(
+        F.broadcast(bits.agg(F.count("*").alias("n_bits_set")))
+    )
+
+
+_BLOOM_POS_DUCK = ", ".join(
+    H60_SQL.format(x=f"url || '#b{j}'") + f" % {_BLOOM_M}"
+    for j in range(_BLOOM_K)
+)
+
+ORACLE_BLOOM = f"""
+WITH tagged AS (
+  SELECT url,
+         CAST(regexp_extract(url, '([0-9]+)(\\.pdf)?$', 1) AS BIGINT) % 2 = 0
+             AS is_build,
+         [{_BLOOM_POS_DUCK}] AS pos
+  FROM {_PAGES_REL}
+  WHERE {_PAGES_WHERE}
+), bits AS (
+  SELECT DISTINCT unnest(pos) AS bit FROM tagged WHERE is_build
+), probe AS (
+  SELECT url, unnest(pos) AS bit FROM tagged WHERE NOT is_build
+), hits AS (
+  SELECT p.url, count(b.bit) AS nh
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.url
+)
+SELECT (SELECT count(*) FROM hits) AS n_probes,
+       (SELECT CAST(sum(CASE WHEN nh = {_BLOOM_K} THEN 1 ELSE 0 END)
+               AS BIGINT) FROM hits) AS n_flagged,
+       (SELECT count(*) FROM bits) AS n_bits_set
+"""
+
+
+WEB_QUERIES_D: dict[str, QuerySpec] = {
+    "pagerank_hosts": QuerySpec(q_pagerank_hosts, ORACLE_PAGERANK),
+    "quality_linear_score": QuerySpec(
+        q_quality_linear_score, ORACLE_QUALITY_LINEAR
+    ),
+    "domain_cap_sample": QuerySpec(q_domain_cap_sample, ORACLE_DOMAIN_CAP),
+    "bloom_url_seen": QuerySpec(q_bloom_url_seen, ORACLE_BLOOM),
+}
+EXT_QUERIES.update(WEB_QUERIES_D)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
