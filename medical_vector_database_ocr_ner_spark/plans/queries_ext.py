@@ -2027,8 +2027,10 @@ def q_pagerank_hosts(spark, sf):
     for training-data curation). Link targets are synthesized
     deterministically from the page id (the fixture's boilerplate anchors
     are all same-host relative links), then aggregated to a weighted host
-    graph: the graph table is O(hosts²) regardless of corpus size, so the
-    per-iteration join/agg shuffles a tiny relation even at 10^12 pages.
+    graph: page-scale data is touched exactly once (the edge aggregation);
+    every iteration after that shuffles only the host graph — O(active
+    host pairs), corpus-size-independent — so 10^12 pages cost one corpus
+    pass plus iterations over a relation ~4 orders of magnitude smaller.
 
     Float PageRank sums diverge across engines (addition order), so ranks
     are integer-scaled (_PR_SCALE total mass) and every step uses integer
@@ -2063,6 +2065,12 @@ def q_pagerank_hosts(spark, sf):
     n = nodes.count()  # driver-side scalar (host count, not data-sized)
     base = _PR_SCALE * 15 // (100 * n)
     rank = nodes.select("host", F.lit(_PR_SCALE // n).alias("rank"))
+    # Join strategy is deliberately left to AQE: outw/rank/contrib are all
+    # O(hosts) relations — tiny here (50 rows → runtime broadcast), but at
+    # the real web's ~10^8 hosts they are NOT broadcastable and the same
+    # plan degrades gracefully to shuffled joins co-partitioned on the
+    # host key. Forcing broadcast() would bake the fixture's scale into
+    # the plan; the iteration is correct at either extreme as written.
     for _ in range(_PR_ITERS):
         contrib = (
             edges.join(outw, "src")
