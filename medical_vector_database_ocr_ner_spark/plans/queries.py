@@ -1374,19 +1374,16 @@ DRIVER_PRIORITY: list[str] = [
     "pages_extraction",
     "pdf_page_explode",
     "semantic_search",
-    # tier 2 — green in exactly one prior round
-    "customers_without_orders",
-    "sliding_hour_avg",
-    "user_running_value",
-    "user_segment_setops",
-    "doc_stats_panel",
+    # tier 2 — green in exactly one prior round (r3 rotation: the seven
+    # single-green entries displaced for wave E — customers_without_orders,
+    # sliding_hour_avg, user_running_value, user_segment_setops,
+    # doc_stats_panel, lang_source_pivot, event_funnel — were untouched
+    # since their green row, so the union-of-rounds coverage holds)
     "embedding_quantize",
-    "event_funnel",
     "events_json_extract",
     "file_size_format",
     "ivf_topk",
     "json_metadata_quarantine",
-    "lang_source_pivot",
     "quality_score",
     "simhash16",
     "user_sessions",
@@ -1417,11 +1414,26 @@ DRIVER_PRIORITY: list[str] = [
     "pagerank_hosts",
     "quality_linear_score",
     "domain_cap_sample",
+    # tier 2g — new in round 3, fourth session (webtext wave E); they take
+    # the window slots of seven tier-2 queries that are single-green AND
+    # untouched since their green row (customers_without_orders,
+    # sliding_hour_avg, user_running_value, user_segment_setops,
+    # doc_stats_panel, lang_source_pivot, event_funnel), so union-coverage
+    # is preserved
+    "sentence_dedup_global",
+    "anchor_link_stats",
+    "url_churn_stats",
+    "extraction_yield_by_host",
+    "surt_prefix_scan",
+    "recrawl_priority",
     # tier 2c — semantics changed in round 3 (scale-divergence fixes):
-    # their r1/r2 green rows verified the OLD form, so re-verify the new
+    # their r1/r2 green rows verified the OLD form, so re-verify the new.
+    # embedding_near_dups also changed (portable 4dp quantization) — the
+    # change is only observable at sf0.1, but re-verify it anyway.
     "events_minmax_by",
     "hourly_event_stats",
     "rollup_event_stats",
+    "embedding_near_dups",
     # tier 3 — double-green anchors (r1 AND r2) filling the 50-row window
     "pricing_summary",
     "knn_hydrated",

@@ -2351,6 +2351,473 @@ WEB_QUERIES_D: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_D)
 
 
+# === webtext wave E (round 3, fourth session) ================================
+# Six more first-class stages of a Common-Crawl-scale training-data
+# pipeline, all fully native (zero Python in any hot path): C4-style
+# global sentence dedup with text rebuild, template-link (boilerplate
+# anchor) discovery, per-url snapshot churn, extraction-yield host audit,
+# a SURT-keyed index scan, and a recrawl-frontier priority ranking.
+
+# shared DuckDB source CTE body for the synthetic pages table (same
+# glob + filename-size inference as the earlier page oracles)
+_PAGES_SRC = f"""
+  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+                    filename=true)
+  WHERE filename LIKE
+        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+"""
+
+
+def q_sentence_dedup_global(spark, sf):
+    """C4-style GLOBAL sentence dedup with per-document text rebuild: every
+    `<p>` block is a sentence; a sentence is kept only at its first global
+    occurrence (ordered by url, then position), so boilerplate sentences
+    that recur across the corpus — the footer copyright line is on every
+    page — survive exactly once. This is the C4 paper's 'discard duplicate
+    three-sentence spans' primitive at span length 1.
+
+    Scale shape: first-occurrence is resolved with groupBy(min) + an
+    equi-join back on the sentence hash — NOT a row_number window — because
+    the hot key (a sentence on all 10^12 pages) would otherwise sort one
+    corpus-sized window partition on a single reducer. The partial-agg
+    min() combines map-side, so the hot hash reaches the reducer as one
+    row per map task; the join back is skewed on the probe side only,
+    which AQE skew-join splits. Rebuild concatenates kept sentences in
+    document order via array_sort on (pos, sent) structs — per-url state
+    only, bounded by document size."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    htmlish = pages.where(F.expr("startswith(html, X'3C')"))
+    sents = htmlish.select(
+        "url",
+        F.posexplode(
+            F.expr(
+                "regexp_extract_all(cast(html as string), '<p>([^<]*)</p>', 1)"
+            )
+        ).alias("pos0", "sent"),
+    ).select("url", (F.col("pos0") + 1).alias("pos"), "sent")
+    keyed = sents.select(
+        "url",
+        "pos",
+        "sent",
+        F.md5("sent").alias("h"),
+        F.concat(
+            F.col("url"), F.lit("#"), F.lpad(F.col("pos").cast("string"), 8, "0")
+        ).alias("occ"),
+    )
+    firsts = keyed.groupBy("h").agg(F.min("occ").alias("first_occ"))
+    tagged = keyed.join(firsts, "h").withColumn(
+        "keep", F.col("occ") == F.col("first_occ")
+    )
+    return (
+        tagged.groupBy("url")
+        .agg(
+            F.count("*").alias("n_sents"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "sent"))
+                        )
+                    ),
+                    lambda x: x["sent"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .select(
+            "url",
+            "n_sents",
+            "n_kept",
+            (
+                F.lit(1.0) - F.col("n_kept") / F.col("n_sents").cast("double")
+            ).alias("dup_frac"),
+            "kept_text",
+        )
+    )
+
+
+ORACLE_SENT_DEDUP = f"""
+WITH pages AS (
+  SELECT url, decode(html) AS s
+  {_PAGES_SRC}
+    AND substr(hex(html), 1, 2) = '3C'
+), sents AS (
+  SELECT url,
+         unnest(range(1, len(l) + 1)) AS pos,
+         unnest(l) AS sent
+  FROM (SELECT url, regexp_extract_all(s, '<p>([^<]*)</p>', 1) AS l FROM pages)
+), keyed AS (
+  SELECT url, pos, sent, md5(sent) AS h,
+         url || '#' || lpad(CAST(pos AS VARCHAR), 8, '0') AS occ
+  FROM sents
+), firsts AS (
+  SELECT h, min(occ) AS first_occ FROM keyed GROUP BY h
+)
+SELECT url, count(*) AS n_sents,
+       CAST(sum(CASE WHEN occ = first_occ THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       1.0 - sum(CASE WHEN occ = first_occ THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) AS dup_frac,
+       coalesce(string_agg(CASE WHEN occ = first_occ THEN sent END,
+                           ' ' ORDER BY pos), '') AS kept_text
+FROM keyed JOIN firsts USING (h)
+GROUP BY url
+"""
+
+
+def q_anchor_link_stats(spark, sf):
+    """Template-link (boilerplate anchor) discovery: extract every
+    `<a href>` target per page, count occurrences per (host, href), and
+    flag hrefs present on ≥80% of the host's pages — those are the site
+    template (nav/footer/sidebar), exactly the links a main-content
+    extractor must ignore and a crawl frontier should not re-score.
+
+    Scale shape: the (host, href) count uses the same two-stage salted
+    aggregation as host_stats_salted — template hrefs on a hot host are
+    the textbook hot key (host0 owns 35% of the corpus and every page
+    carries the same 12 template hrefs), so a salt of the url-hash spreads
+    each hot (host, href) across 16 partial reducers before the tiny final
+    agg. The per-host page-count side is one row per host — broadcast."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    htmlish = pages.where(F.expr("startswith(html, X'3C')"))
+    base = htmlish.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.pmod(F.xxhash64("url"), F.lit(16)).alias("_salt"),
+        F.expr(
+            "regexp_extract_all(cast(html as string),"
+            " '<a href=\"([^\"]+)\"', 1)"
+        ).alias("hrefs"),
+    )
+    host_pages = (
+        base.groupBy("host", "_salt")
+        .agg(F.count("*").alias("pn"))
+        .groupBy("host")
+        .agg(F.sum("pn").alias("n_pages_host"))
+    )
+    links = base.select("host", "_salt", F.explode("hrefs").alias("href"))
+    link_counts = (
+        links.groupBy("host", "href", "_salt")
+        .agg(F.count("*").alias("pc"))
+        .groupBy("host", "href")
+        .agg(F.sum("pc").alias("n_links"))
+    )
+    joined = link_counts.join(F.broadcast(host_pages), "host")
+    frac = F.col("n_links") / F.col("n_pages_host").cast("double")
+    return joined.select(
+        "host",
+        "href",
+        "n_links",
+        "n_pages_host",
+        frac.alias("link_frac"),
+        (frac >= 0.8).alias("is_boilerplate"),
+    )
+
+
+ORACLE_ANCHOR_STATS = f"""
+WITH pages AS (
+  SELECT url, decode(html) AS s
+  {_PAGES_SRC}
+    AND substr(hex(html), 1, 2) = '3C'
+), base AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract_all(s, '<a href="([^"]+)"', 1) AS hrefs
+  FROM pages
+), host_pages AS (
+  SELECT host, count(*) AS n_pages_host FROM base GROUP BY host
+), links AS (
+  SELECT host, unnest(hrefs) AS href FROM base
+), link_counts AS (
+  SELECT host, href, count(*) AS n_links FROM links GROUP BY host, href
+)
+SELECT l.host, l.href, l.n_links, h.n_pages_host,
+       l.n_links / CAST(h.n_pages_host AS DOUBLE) AS link_frac,
+       l.n_links / CAST(h.n_pages_host AS DOUBLE) >= 0.8 AS is_boilerplate
+FROM link_counts l JOIN host_pages h ON l.host = h.host
+"""
+
+
+def q_url_churn_stats(spark, sf):
+    """Per-url snapshot churn over a multi-capture crawl: number of
+    captures, number of DISTINCT content versions (by content hash), the
+    capture time span, and a churn rate = version transitions per
+    recapture — the signal a recrawl scheduler feeds on. The fixture has
+    one capture per url, so the query first synthesizes the snapshot
+    traffic (the JSON_PROBES pattern): every third url is recaptured +1h
+    with identical bytes, every sixth also +2h with changed content.
+
+    Scale shape: one groupBy(url) — per-url groups are bounded by the
+    crawler's own revisit policy (tens of captures), keys are as uniform
+    as the crawl; count(DISTINCT md5) expands to at most that many rows
+    per url. No windows, no joins."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    htmlish = pages.where(F.expr("startswith(html, X'3C')")).select(
+        "url", "warc_ts", F.col("html").cast("string").alias("s")
+    )
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+    re1 = htmlish.where(page_no % 3 == 0).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        "s",
+    )
+    re2 = htmlish.where(page_no % 6 == 0).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 2 HOUR")).alias("warc_ts"),
+        F.concat(F.col("s"), F.lit("<!-- v2 -->")).alias("s"),
+    )
+    snaps = htmlish.unionByName(re1).unionByName(re2)
+    return (
+        snaps.groupBy("url")
+        .agg(
+            F.count("*").alias("n_snaps"),
+            F.countDistinct(F.md5("s")).alias("n_versions"),
+            # timestampdiff, not cast-to-long arithmetic: the parquet
+            # column reads as TIMESTAMP_NTZ, which Spark 4 refuses to cast
+            # to BIGINT
+            F.expr("timestampdiff(SECOND, min(warc_ts), max(warc_ts))").alias(
+                "span_s"
+            ),
+        )
+        .select(
+            "url",
+            "n_snaps",
+            "n_versions",
+            "span_s",
+            F.when(
+                F.col("n_snaps") > 1,
+                (F.col("n_versions") - 1)
+                / (F.col("n_snaps") - 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("churn_rate"),
+        )
+    )
+
+
+ORACLE_URL_CHURN = f"""
+WITH pages AS (
+  SELECT url, warc_ts, decode(html) AS s
+  {_PAGES_SRC}
+    AND substr(hex(html), 1, 2) = '3C'
+), snaps AS (
+  SELECT url, warc_ts, s FROM pages
+  UNION ALL
+  SELECT url, warc_ts + INTERVAL 1 HOUR, s FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 3 = 0
+  UNION ALL
+  SELECT url, warc_ts + INTERVAL 2 HOUR, s || '<!-- v2 -->' FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 6 = 0
+)
+SELECT url, count(*) AS n_snaps,
+       count(DISTINCT md5(s)) AS n_versions,
+       date_diff('second', min(warc_ts), max(warc_ts)) AS span_s,
+       CASE WHEN count(*) > 1
+            THEN (count(DISTINCT md5(s)) - 1)
+                 / CAST(count(*) - 1 AS DOUBLE)
+            ELSE 0.0 END AS churn_rate
+FROM snaps GROUP BY url
+"""
+
+
+def q_extraction_yield_by_host(spark, sf):
+    """Extraction-yield audit per host: the ratio of prose characters
+    (markup stripped) to raw html characters, aggregated per domain. A
+    host whose pages are mostly template (low yield) is a candidate for
+    skipping the expensive extraction UDF entirely — the corpus-curation
+    analog of the reference's cheap-reject-before-OCR layering.
+
+    Scale shape: yield is sum(text_chars)/sum(html_chars) over EXACT
+    bigint sums — not avg() of per-page double ratios, whose partition-
+    order-dependent double addition would make the result nondeterministic
+    across cluster layouts. Two-stage salted agg on the skewed host key,
+    final agg is one row per host."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    htmlish = pages.where(F.expr("startswith(html, X'3C')"))
+    s = F.col("html").cast("string")
+    feat = htmlish.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.pmod(F.xxhash64("url"), F.lit(16)).alias("_salt"),
+        F.length(s).alias("hc"),
+        F.length(F.regexp_replace(s, "<[^>]*>", "")).alias("tc"),
+    )
+    partial = feat.groupBy("host", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("hc").alias("ph"), F.sum("tc").alias("pt")
+    )
+    stats = partial.groupBy("host").agg(
+        F.sum("pn").alias("n_pages"),
+        F.sum("ph").alias("html_chars"),
+        F.sum("pt").alias("text_chars"),
+    )
+    y = F.col("text_chars") / F.col("html_chars").cast("double")
+    return stats.select(
+        "host",
+        "n_pages",
+        "html_chars",
+        "text_chars",
+        y.alias("yield_frac"),
+        (y < 0.35).alias("low_yield"),
+    )
+
+
+ORACLE_EXTRACTION_YIELD = f"""
+WITH pages AS (
+  SELECT url, decode(html) AS s
+  {_PAGES_SRC}
+    AND substr(hex(html), 1, 2) = '3C'
+), feat AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         length(s) AS hc,
+         length(regexp_replace(s, '<[^>]*>', '', 'g')) AS tc
+  FROM pages
+)
+SELECT host, count(*) AS n_pages,
+       CAST(sum(hc) AS BIGINT) AS html_chars,
+       CAST(sum(tc) AS BIGINT) AS text_chars,
+       sum(tc) / CAST(sum(hc) AS DOUBLE) AS yield_frac,
+       sum(tc) / CAST(sum(hc) AS DOUBLE) < 0.35 AS low_yield
+FROM feat GROUP BY host
+"""
+
+
+def q_surt_prefix_scan(spark, sf):
+    """SURT-keyed index scan (the CDX lookup primitive): canonicalize each
+    url to its Sort-friendly URI Reordering Transform key — host labels
+    reversed and comma-joined, then ')' and the path — and serve a host
+    prefix query ('example,host1)' matches host1 but NOT host10…host19,
+    because the ')' terminator is part of the prefix).
+
+    Scale shape: the index is repartitionByRange + sortWithinPartitions on
+    surt_key — written as parquet that layout gives min/max row-group
+    pruning, so a prefix lookup touches only the file slice owning the
+    host's key range instead of scanning 10^12 rows. The query itself is
+    one scan + filter (predicate-prunable), no shuffle beyond the range
+    partitioning that builds the index."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf).select("url", "warc_ts")
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    path = F.regexp_extract("url", r"^https?://[^/]+(.*)$", 1)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), path
+    )
+    idx = (
+        pages.select(surt.alias("surt_key"), "url", "warc_ts")
+        .repartitionByRange(8, "surt_key")
+        .sortWithinPartitions("surt_key")
+    )
+    return idx.where(F.col("surt_key").startswith("example,host1)"))
+
+
+ORACLE_SURT_PREFIX = f"""
+WITH pages AS (
+  SELECT url, warc_ts
+  {_PAGES_SRC}
+), surt AS (
+  SELECT array_to_string(
+             list_reverse(string_split(
+                 regexp_extract(url, '^https?://([^/]+)', 1), '.')), ',')
+         || ')' || regexp_extract(url, '^https?://[^/]+(.*)$', 1) AS surt_key,
+         url, warc_ts
+  FROM pages
+)
+SELECT surt_key, url, warc_ts FROM surt
+WHERE surt_key LIKE 'example,host1)%'
+"""
+
+
+def q_recrawl_priority(spark, sf):
+    """Recrawl-frontier priority: rank urls for recapture by combining the
+    churn signal (how often this url's content actually changes) with a
+    host-authority proxy (host corpus mass), priority = (churn_rate + 0.1)
+    * n_pages_host — the '+0.1' keeps never-changed urls schedulable at a
+    low rate. Top-100 with a total-order tiebreak on url.
+
+    Scale shape: churn is the one groupBy(url) agg of q_url_churn_stats;
+    the authority side is one row per host (broadcast join); the ranking
+    is orderBy+limit → TakeOrderedAndProject (per-partition top-100, then
+    a 100-row driver merge — no global sort). The priority arithmetic is
+    a single IEEE multiply on exactly-representable inputs, so the ranking
+    is bit-identical on any engine — no log(), whose libm rounding could
+    differ across platforms."""
+    from .queries import _pages_for_sf
+
+    churn = q_url_churn_stats(spark, sf)
+    pages = _pages_for_sf(spark, sf)
+    htmlish = pages.where(F.expr("startswith(html, X'3C')"))
+    host_pages = htmlish.groupBy(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+    ).agg(F.count("*").alias("n_pages_host"))
+    withhost = churn.withColumn(
+        "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    ).join(F.broadcast(host_pages), "host")
+    score = (F.col("churn_rate") + F.lit(0.1)) * F.col("n_pages_host")
+    return (
+        withhost.select(
+            "url", "host", "churn_rate", "n_pages_host", score.alias("priority")
+        )
+        .orderBy(F.desc("priority"), "url")
+        .limit(100)
+    )
+
+
+ORACLE_RECRAWL_PRIORITY = f"""
+WITH pages AS (
+  SELECT url, warc_ts, decode(html) AS s
+  {_PAGES_SRC}
+    AND substr(hex(html), 1, 2) = '3C'
+), snaps AS (
+  SELECT url, warc_ts, s FROM pages
+  UNION ALL
+  SELECT url, warc_ts + INTERVAL 1 HOUR, s FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 3 = 0
+  UNION ALL
+  SELECT url, warc_ts + INTERVAL 2 HOUR, s || '<!-- v2 -->' FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 6 = 0
+), churn AS (
+  SELECT url,
+         CASE WHEN count(*) > 1
+              THEN (count(DISTINCT md5(s)) - 1)
+                   / CAST(count(*) - 1 AS DOUBLE)
+              ELSE 0.0 END AS churn_rate
+  FROM snaps GROUP BY url
+), host_pages AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         count(*) AS n_pages_host
+  FROM pages GROUP BY 1
+)
+SELECT c.url, regexp_extract(c.url, '^https?://([^/]+)', 1) AS host,
+       c.churn_rate, h.n_pages_host,
+       (c.churn_rate + 0.1) * h.n_pages_host AS priority
+FROM churn c
+JOIN host_pages h ON regexp_extract(c.url, '^https?://([^/]+)', 1) = h.host
+ORDER BY priority DESC, c.url
+LIMIT 100
+"""
+
+
+WEB_QUERIES_E: dict[str, QuerySpec] = {
+    "sentence_dedup_global": QuerySpec(
+        q_sentence_dedup_global, ORACLE_SENT_DEDUP
+    ),
+    "anchor_link_stats": QuerySpec(q_anchor_link_stats, ORACLE_ANCHOR_STATS),
+    "url_churn_stats": QuerySpec(q_url_churn_stats, ORACLE_URL_CHURN),
+    "extraction_yield_by_host": QuerySpec(
+        q_extraction_yield_by_host, ORACLE_EXTRACTION_YIELD
+    ),
+    "surt_prefix_scan": QuerySpec(q_surt_prefix_scan, ORACLE_SURT_PREFIX),
+    "recrawl_priority": QuerySpec(q_recrawl_priority, ORACLE_RECRAWL_PRIORITY),
+}
+EXT_QUERIES.update(WEB_QUERIES_E)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path

@@ -84,6 +84,58 @@ SELECTED = [
     ("domain_blocklist_filter",
      "Blocklist gate as BroadcastHashJoin LeftAnti — the fact table never "
      "shuffles for the filter; the per-host count is the only Exchange."),
+    ("quality_linear_score",
+     "Model inference with ZERO added topology: the whole fasttext-style "
+     "scorer (60-bit md5 feature hash % 4096 → integer weight → `aggregate` "
+     "fold over split(text)) lives inside one WholeStageCodegen Project "
+     "directly over the FileScan; the only Exchange in the query is the "
+     "10-row (lang, keep) summary agg. ReadSchema is struct<text,lang> — "
+     "nothing else leaves the scan. At 10^12 docs, scoring is free: the "
+     "corpus pass costs the same with or without the model."),
+    ("domain_cap_sample",
+     "Two-stage salted rank (the ann_batch_topk shape applied to "
+     "per-domain caps): stage-1 Window partitions on (host, salt-of-url) — "
+     "a hot host's rows split over 16 bounded partitions — stage-2 Window "
+     "ranks only the ≤16·K survivors per host. The per-host totals agg is "
+     "map-side combinable (partial HashAggregate before its Exchange) and "
+     "joins back by broadcast. Both FileScans read url only."),
+    ("bloom_url_seen",
+     "The bit set (≤16384 rows regardless of corpus size) is built with "
+     "one distinct agg and BROADCAST to the probe side: the frontier "
+     "membership check is a map-side left join on the probe scan — no "
+     "shuffle of probe traffic, ever. The per-url hit count is one keyed "
+     "agg; the final summaries are 1-row aggregates."),
+    ("pagerank_hosts",
+     "Page-scale data is touched exactly ONCE (the link→edge "
+     "aggregation); all three rank iterations operate on the persisted "
+     "host graph — InMemoryTableScans of edges/nodes, never the pages "
+     "scan. Join strategy is deliberately left to AQE: at fixture scale "
+     "(50 hosts) every outw/rank/contrib join converts to runtime "
+     "broadcast; at the real web's ~10^8 hosts the identical plan "
+     "degrades to shuffled joins co-partitioned on the host key — the "
+     "fixture's scale is not baked into the plan. Integer-scaled rank "
+     "mass keeps all three iterations hash-exact against the DuckDB "
+     "mirror."),
+    ("sentence_dedup_global",
+     "Global sentence dedup: first-occurrence via partial-agg min() on the "
+     "sentence hash (map-side combine collapses the everywhere-footer hot "
+     "key to one row per map task) + equi-join back — NO row_number window "
+     "whose hot-sentence partition would sort corpus-sized data on one "
+     "reducer; per-url rebuild is a keyed agg with array_sort."),
+    ("anchor_link_stats",
+     "Template-link discovery: two-stage salted HashAggregate on the "
+     "(host, href) hot keys (partial on (host, href, url-hash salt)); the "
+     "per-host page-count side joins back via BroadcastHashJoin."),
+    ("surt_prefix_scan",
+     "SURT index scan: RangePartitioning + per-partition sort on surt_key "
+     "(the layout that gives parquet min/max pruning once written), the "
+     "prefix predicate evaluated in the scan project — a lookup touches "
+     "only the key-range slice at any corpus size."),
+    ("recrawl_priority",
+     "Frontier priority: the churn agg is the only fact Exchange; the "
+     "host-authority side is a BroadcastHashJoin; final ranking is "
+     "TakeOrderedAndProject (per-partition top-100 + 100-row merge), "
+     "never a global sort."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
