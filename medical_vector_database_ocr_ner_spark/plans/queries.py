@@ -1379,14 +1379,15 @@ DRIVER_PRIORITY: list[str] = [
     # sliding_hour_avg, user_running_value, user_segment_setops,
     # doc_stats_panel, lang_source_pivot, event_funnel — were untouched
     # since their green row, so the union-of-rounds coverage holds)
-    "embedding_quantize",
-    "events_json_extract",
-    "file_size_format",
-    "ivf_topk",
+    # (r3 fifth-session rotation: of the eight tier-2 entries only these
+    # two remain — their IMPLEMENTATIONS changed in round 3 (long-format
+    # simhash rewrite; tiered JSON validation under the quarantine), so
+    # their single green row verified the old form. The six displaced for
+    # wave F — embedding_quantize, events_json_extract, file_size_format,
+    # ivf_topk, quality_score, user_sessions — are single-green AND
+    # untouched since their green row, so union-of-rounds coverage holds.)
     "json_metadata_quarantine",
-    "quality_score",
     "simhash16",
-    "user_sessions",
     # tier 2b — new in round 3 (webtext training-pipeline wave)
     "gopher_quality_flags",
     "chunk_dedup_docs",
@@ -1426,6 +1427,16 @@ DRIVER_PRIORITY: list[str] = [
     "extraction_yield_by_host",
     "surt_prefix_scan",
     "recrawl_priority",
+    # tier 2h — new in round 3, fifth session (webtext wave F); they take
+    # the six slots freed above. bloom_url_seen still waits outside the
+    # window (local gate + pytest cover it; rotate it in round 4 along
+    # with the wave F/E entries' second confirmations).
+    "span3_dedup_stats",
+    "outlink_frontier",
+    "crawl_diff",
+    "url_filter_gate",
+    "dom_blocks_native",
+    "politeness_audit",
     # tier 2c — semantics changed in round 3 (scale-divergence fixes):
     # their r1/r2 green rows verified the OLD form, so re-verify the new.
     # embedding_near_dups also changed (portable 4dp quantization) — the

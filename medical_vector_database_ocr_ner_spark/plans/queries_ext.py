@@ -2818,6 +2818,584 @@ WEB_QUERIES_E: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_E)
 
 
+# === webtext wave F (round 3, fifth session) =================================
+# Six more first-class curation/crawl-ops stages, all fully native: C4's
+# actual 3-sentence-span global dedup (span length 3, vs wave E's length-1
+# primitive), exact outlink-frontier discovery (the precise companion to
+# the approximate bloom_url_seen), cross-crawl CDX diff, a URL-level
+# filter gate, a NATIVE Boilerpipe-style DOM-block classifier
+# (text-density + link-density over a flattened segment array — the north
+# star's block model expressed without any Python), and a crawl-politeness
+# burst audit.
+
+
+def q_span3_dedup_stats(spark, sf):
+    """C4's span-level dedup primitive at its real span length: every run
+    of THREE consecutive `<p>` sentences is a span; a span that already
+    occurred anywhere in the corpus (ordered by url, then position) is a
+    duplicate. Wave E's sentence_dedup_global is this at length 1 — length
+    3 is what the C4 paper actually deduplicates, because single shared
+    sentences (bylines, disclaimers) are common while shared 3-sentence
+    runs almost always mean mirrored/syndicated content. The fixture has
+    no mirrors, so the query synthesizes them (the JSON_PROBES pattern):
+    every fifth page is unioned again under url?mirror=1 with identical
+    bytes — the syndication case — and every span of a mirror must be
+    flagged duplicate.
+
+    Scale shape: same as wave E — first occurrence via map-side-combinable
+    groupBy(min) on the span hash + equi-join back, never a row_number
+    window whose hot-span partition would serialize one reducer; spans per
+    document are bounded by document length (the transform/slice runs
+    inside codegen over the already-collected sentence array, no second
+    explode-join)."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    htmlish = pages.where(F.expr("startswith(html, X'3C')")).select(
+        "url", F.col("html").cast("string").alias("s")
+    )
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+    mirrors = htmlish.where(page_no % 5 == 0).select(
+        F.concat(F.col("url"), F.lit("?mirror=1")).alias("url"), "s"
+    )
+    docs = htmlish.unionByName(mirrors)
+    sents = docs.select(
+        "url",
+        F.expr("regexp_extract_all(s, '<p>([^<]*)</p>', 1)").alias("l"),
+    )
+    # sequence(1, size-2) would go DESCENDING for size < 3 — guard with
+    # when(), not with a filter inside the lambda
+    spans = sents.select(
+        "url",
+        F.when(
+            F.size("l") >= 3,
+            F.expr(
+                "transform(sequence(1, size(l) - 2),"
+                " i -> concat_ws(char(1), slice(l, i, 3)))"
+            ),
+        )
+        .otherwise(F.expr("array()"))
+        .alias("spans"),
+    )
+    occ = spans.select(
+        "url", F.posexplode("spans").alias("pos0", "span")
+    ).select(
+        "url",
+        F.md5("span").alias("h"),
+        F.concat(
+            F.col("url"),
+            F.lit("#"),
+            F.lpad((F.col("pos0") + 1).cast("string"), 8, "0"),
+        ).alias("occ"),
+    )
+    firsts = occ.groupBy("h").agg(F.min("occ").alias("first_occ"))
+    per_url = (
+        occ.join(firsts, "h")
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("occ") != F.col("first_occ")).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+    )
+    return spans.select("url").join(per_url, "url", "left").select(
+        "url",
+        F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).alias(
+            "n_dup_spans"
+        ),
+        F.when(
+            F.coalesce("n_spans", F.lit(0)) > 0,
+            F.col("n_dup_spans") / F.col("n_spans").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_span_frac"),
+    )
+
+
+ORACLE_SPAN3 = f"""
+WITH pages AS (
+  SELECT url, decode(html) AS s
+  {_PAGES_SRC}
+    AND substr(hex(html), 1, 2) = '3C'
+), docs AS (
+  SELECT url, s FROM pages
+  UNION ALL
+  SELECT url || '?mirror=1', s FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 5 = 0
+), sents AS (
+  SELECT url, regexp_extract_all(s, '<p>([^<]*)</p>', 1) AS l FROM docs
+), spans AS (
+  SELECT url,
+         list_transform(range(1, greatest(len(l) - 1, 1)),
+                        i -> array_to_string(l[i:i+2], chr(1))) AS spans
+  FROM sents
+), occ AS (
+  SELECT url, md5(sp) AS h,
+         url || '#' || lpad(CAST(pos AS VARCHAR), 8, '0') AS occ
+  FROM (SELECT url, unnest(spans) AS sp,
+               unnest(range(1, len(spans) + 1)) AS pos
+        FROM spans)
+), firsts AS (
+  SELECT h, min(occ) AS first_occ FROM occ GROUP BY h
+), per_url AS (
+  SELECT url, count(*) AS n_spans,
+         CAST(sum(CASE WHEN occ.occ <> f.first_occ THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_spans
+  FROM occ JOIN firsts f USING (h) GROUP BY url
+)
+SELECT s.url,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN coalesce(p.n_spans, 0) > 0
+            THEN p.n_dup_spans / CAST(p.n_spans AS DOUBLE)
+            ELSE 0.0 END AS dup_span_frac
+FROM spans s LEFT JOIN per_url p USING (url)
+"""
+
+
+def q_outlink_frontier(spark, sf):
+    """EXACT crawl-frontier discovery: resolve every same-site `<a href>`
+    to an absolute url and anti-join against the crawled set — the urls a
+    crawler has discovered but never fetched, per host. This is the
+    precise companion to bloom_url_seen: the Bloom filter answers the
+    frontier-membership question approximately with a broadcast bit set;
+    this query answers it exactly with a co-partitioned anti-join, which
+    is what the frontier *builder* (as opposed to the hot-path probe)
+    runs.
+
+    Scale shape: the explode→distinct shuffles on out_url (uniform — url
+    strings hash well even when hosts are skewed); the LeftAnti join then
+    reuses the same url-hash partitioning against the crawled-set scan, so
+    the expensive side shuffles once. The per-host rollup is a tiny keyed
+    agg."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    htmlish = pages.where(F.expr("startswith(html, X'3C')"))
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    out = (
+        htmlish.select(
+            host.alias("host"),
+            F.explode(
+                F.expr(
+                    "regexp_extract_all(cast(html as string),"
+                    " '<a href=\"([^\"]+)\"', 1)"
+                )
+            ).alias("href"),
+        )
+        .where(F.col("href").startswith("/"))
+        .select(
+            "host",
+            F.concat(F.lit("https://"), F.col("host"), F.col("href")).alias(
+                "out_url"
+            ),
+        )
+        .distinct()
+    )
+    crawled = pages.select(F.col("url").alias("out_url"))
+    frontier = out.join(crawled, "out_url", "left_anti")
+    return frontier.groupBy("host").agg(
+        F.count("*").alias("n_frontier"),
+        F.min("out_url").alias("first_url"),
+    )
+
+
+ORACLE_FRONTIER = f"""
+WITH htmlish AS (
+  SELECT url, decode(html) AS s
+  {_PAGES_SRC}
+    AND substr(hex(html), 1, 2) = '3C'
+), crawled AS (
+  SELECT url
+  {_PAGES_SRC}
+), out AS (
+  SELECT DISTINCT
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         'https://' || regexp_extract(url, '^https?://([^/]+)', 1) || href
+             AS out_url
+  FROM (SELECT url, unnest(regexp_extract_all(s, '<a href="([^"]+)"', 1))
+               AS href
+        FROM htmlish)
+  WHERE href LIKE '/%'
+), frontier AS (
+  SELECT host, out_url FROM out
+  WHERE out_url NOT IN (SELECT url FROM crawled)
+)
+SELECT host, count(*) AS n_frontier, min(out_url) AS first_url
+FROM frontier GROUP BY host
+"""
+
+
+def q_crawl_diff(spark, sf):
+    """Cross-crawl CDX diff — the incremental-corpus-update primitive:
+    full-outer-join two crawl snapshots on url and classify every url as
+    new / gone / changed / unchanged (changed = content hash moved), per
+    host. The second crawl is synthesized deterministically from the
+    fixture: every 7th url vanishes, every 5th changes content, every
+    11th gains a '/new' child url.
+
+    Scale shape: one full-outer SortMergeJoin co-partitioned on url (the
+    canonical shape for merging 10^12-row snapshots — both sides shuffle
+    exactly once on the join key, AQE handles any capture-host skew);
+    content compare is md5-of-payload equality, computed in the scan
+    project. The per-(host, status) rollup is a tiny agg. The md5 is over
+    hex(html) because the oracle engine's md5 is VARCHAR-only — hex is
+    deterministic and collision-free, so equality semantics are
+    identical."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf).select(
+        "url", F.md5(F.hex("html")).alias("h")
+    )
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+    crawl_b = (
+        pages.where(page_no % 7 != 0)
+        .select(
+            "url",
+            F.when(
+                page_no % 5 == 0, F.md5(F.concat(F.col("h"), F.lit("v2")))
+            )
+            .otherwise(F.col("h"))
+            .alias("h"),
+        )
+        .unionByName(
+            pages.where(page_no % 11 == 0).select(
+                F.concat(F.col("url"), F.lit("/new")).alias("url"), "h"
+            )
+        )
+    )
+    joined = pages.select("url", F.col("h").alias("h_a")).join(
+        crawl_b.select("url", F.col("h").alias("h_b")), "url", "full_outer"
+    )
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("new"))
+        .when(F.col("h_b").isNull(), F.lit("gone"))
+        .when(F.col("h_a") == F.col("h_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            status.alias("status"),
+        )
+        .groupBy("host", "status")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+ORACLE_CRAWL_DIFF = f"""
+WITH pages AS (
+  SELECT url, md5(hex(html)) AS h
+  {_PAGES_SRC}
+), crawl_b AS (
+  SELECT url,
+         CASE WHEN TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)
+                   % 5 = 0
+              THEN md5(h || 'v2') ELSE h END AS h
+  FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 7 <> 0
+  UNION ALL
+  SELECT url || '/new', h FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 11 = 0
+), joined AS (
+  SELECT coalesce(a.url, b.url) AS url, a.h AS h_a, b.h AS h_b
+  FROM pages a FULL OUTER JOIN crawl_b b ON a.url = b.url
+)
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       CASE WHEN h_a IS NULL THEN 'new'
+            WHEN h_b IS NULL THEN 'gone'
+            WHEN h_a = h_b THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM joined GROUP BY 1, 2
+"""
+
+
+_URL_PROBES = [
+    # one probe per rule so every CASE branch is exercised and
+    # oracle-checked — the fixture's own urls only hit pass/binary_route
+    "ftp://host3.example/page/1",
+    "https://host3.example/page/" + "x" * 70,
+    "https://host3.example/search?q=abc",
+    "https://host3.example/a/b/c/d/e/f",
+    "https://host3.example/static/logo.jpg",
+    "https://host3.example/cgi-bin/run",
+]
+
+
+def q_url_filter_gate(spark, sf):
+    """URL-level filter gate — the zeroth, cheapest tier of the curation
+    funnel (C4/CCNet both gate on the url before touching bytes): first
+    failing rule per url (scheme, length, query-string, binary route,
+    banned extension, path depth) or 'pass', with per-rule url and host
+    counts. Runs BEFORE any payload fetch/decode, so at 10^12 rows it
+    prunes the pipeline's input without reading the html column at all
+    (ReadSchema: url only).
+
+    Scale shape: a pure codegen CASE over one string column + one tiny
+    agg — scan-bound, zero joins, zero Python."""
+    from .queries import _pages_for_sf
+
+    probes = spark.createDataFrame([(u,) for u in _URL_PROBES], "url string")
+    pages = _pages_for_sf(spark, sf).select("url").unionByName(probes)
+    path = F.regexp_extract("url", r"^https?://[^/]+(/.*)?$", 1)
+    rule = (
+        F.when(~F.col("url").rlike(r"^https?://"), F.lit("bad_scheme"))
+        .when(F.length("url") > 80, F.lit("url_too_long"))
+        .when(F.col("url").contains("?"), F.lit("has_query"))
+        .when(path.rlike(r"^/(bin|cgi-bin)/"), F.lit("binary_route"))
+        .when(
+            path.rlike(r"\.(exe|zip|jpg|jpeg|png|gif|css|js)$"),
+            F.lit("banned_ext"),
+        )
+        .when(F.size(F.split(path, "/")) - 1 > 4, F.lit("path_too_deep"))
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        pages.select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            rule.alias("rule"),
+        )
+        .groupBy("rule")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        )
+    )
+
+
+ORACLE_URL_GATE = f"""
+WITH pages AS (
+  SELECT url
+  {_PAGES_SRC}
+  UNION ALL
+  SELECT unnest(['ftp://host3.example/page/1',
+                 'https://host3.example/page/' || repeat('x', 70),
+                 'https://host3.example/search?q=abc',
+                 'https://host3.example/a/b/c/d/e/f',
+                 'https://host3.example/static/logo.jpg',
+                 'https://host3.example/cgi-bin/run'])
+), feat AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https?://[^/]+(/.*)?$', 1) AS path
+  FROM pages
+), ruled AS (
+  SELECT host,
+         CASE WHEN NOT regexp_matches(url, '^https?://') THEN 'bad_scheme'
+              WHEN length(url) > 80 THEN 'url_too_long'
+              WHEN contains(url, '?') THEN 'has_query'
+              WHEN regexp_matches(path, '^/(bin|cgi-bin)/')
+                   THEN 'binary_route'
+              WHEN regexp_matches(path,
+                   '\\.(exe|zip|jpg|jpeg|png|gif|css|js)$')
+                   THEN 'banned_ext'
+              WHEN len(string_split(path, '/')) - 1 > 4 THEN 'path_too_deep'
+              ELSE 'pass' END AS rule
+  FROM feat
+)
+SELECT rule, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM ruled GROUP BY rule
+"""
+
+
+def q_dom_blocks_native(spark, sf):
+    """Boilerpipe-style DOM-block classification with ZERO Python — the
+    north star's block model (text-density + link-density features over a
+    flattened block array) as pure Catalyst expressions. Pages split into
+    segments at structural-tag boundaries (nav/aside/footer/header/main/
+    article/script/style/title) via a sentinel-insert + split; per
+    segment: markup-stripped text, text length, and anchor-text share; a
+    segment is content iff text_len >= 40 AND link_density < 0.34 (the
+    Boilerpipe densitometric rule). Output per url: segment counts and
+    the reassembled main text. The mapInPandas extractor
+    (operators/extraction.py) remains the byte-parity path; this native
+    tier gives the same block decisions for the structurally-common case
+    at scan speed — the same cheap-tier-then-UDF layering as
+    page_triage_native and the tiered JSON validator.
+
+    Scale shape: sentinel replace, split, explode, per-segment features,
+    and the keep rule all run inside one WholeStageCodegen span over the
+    scan; the only Exchange is the per-url reassembly agg (array_sort on
+    (seg_no, text) — bounded by page size). No joins, no Python."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    htmlish = pages.where(F.expr("startswith(html, X'3C')")).select(
+        "url", F.col("html").cast("string").alias("s")
+    )
+    marked = htmlish.select(
+        "url",
+        F.regexp_replace(
+            "s",
+            r"<(nav|aside|footer|header|main|article|script|style|title)\b",
+            "\u0002<$1",
+        ).alias("m"),
+    )
+    segs = marked.select(
+        "url", F.posexplode(F.split("m", "\u0002")).alias("pos0", "seg")
+    ).where(F.length("seg") > 0)
+    text = F.trim(
+        F.regexp_replace(F.regexp_replace("seg", r"<[^>]*>", " "), r"\s+", " ")
+    )
+    anchor_chars = F.coalesce(
+        F.aggregate(
+            F.expr("regexp_extract_all(seg, '<a [^>]*>([^<]*)</a>', 1)"),
+            F.lit(0),
+            lambda acc, x: acc + F.length(x),
+        ),
+        F.lit(0),
+    )
+    feat = segs.select(
+        "url",
+        (F.col("pos0") + 1).alias("seg_no"),
+        F.regexp_extract("seg", r"^<([a-z]+)", 1).alias("seg_type"),
+        text.alias("text"),
+        F.length(text).alias("text_len"),
+        anchor_chars.alias("anchor_chars"),
+    )
+    link_density = F.col("anchor_chars") / F.greatest(
+        F.col("text_len"), F.lit(1)
+    ).cast("double")
+    # script/style/title content is never RENDERED text — exclude those
+    # segment types before the densitometric rule (Boilerpipe strips them
+    # in its preprocessing too); nav/aside/footer/header stay in and must
+    # be rejected by density alone
+    rendered = ~F.col("seg_type").isin("script", "style", "title")
+    keep = rendered & (F.col("text_len") >= 40) & (link_density < 0.34)
+    classified = feat.select(
+        "url", "seg_no", "text", "text_len", keep.alias("keep")
+    )
+    return classified.groupBy("url").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_content"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("seg_no", "text"))
+                    )
+                ),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("main_text"),
+    )
+
+
+ORACLE_DOM_BLOCKS = f"""
+WITH pages AS (
+  SELECT url, decode(html) AS s
+  {_PAGES_SRC}
+    AND substr(hex(html), 1, 2) = '3C'
+), marked AS (
+  SELECT url,
+         regexp_replace(s,
+           '<(nav|aside|footer|header|main|article|script|style|title)\\b',
+           chr(2) || '<\\1', 'g') AS m
+  FROM pages
+), segs AS (
+  SELECT url, pos AS seg_no, seg
+  FROM (SELECT url, unnest(string_split(m, chr(2))) AS seg,
+               unnest(range(1, len(string_split(m, chr(2))) + 1)) AS pos
+        FROM marked)
+  WHERE length(seg) > 0
+), feat AS (
+  SELECT url, seg_no,
+         regexp_extract(seg, '^<([a-z]+)', 1) AS seg_type,
+         trim(regexp_replace(regexp_replace(seg, '<[^>]*>', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS text,
+         coalesce(list_sum(list_transform(
+             regexp_extract_all(seg, '<a [^>]*>([^<]*)</a>', 1),
+             x -> length(x))), 0) AS anchor_chars
+  FROM segs
+), classified AS (
+  SELECT url, seg_no, text, length(text) AS text_len,
+         seg_type NOT IN ('script', 'style', 'title')
+         AND length(text) >= 40
+         AND anchor_chars / CAST(greatest(length(text), 1) AS DOUBLE) < 0.34
+             AS keep
+  FROM feat
+)
+SELECT url, count(*) AS n_segments,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+       coalesce(string_agg(CASE WHEN keep THEN text END,
+                           ' ' ORDER BY seg_no), '') AS main_text
+FROM classified GROUP BY url
+"""
+
+
+def q_politeness_audit(spark, sf):
+    """Crawl-politeness burst audit: bucket every capture into 10-second
+    windows per host and report each host's worst burst (max requests in
+    any window) plus a violation flag (burst > 20) — the metric a
+    crawler's scheduler is graded on, computed after the fact from WARC
+    timestamps.
+
+    Scale shape: one keyed agg on (host, bucket) — time-bucketing spreads
+    even a hot host across its whole capture timeline, so the first-stage
+    keys are fine-grained — then a per-host rollup. The NTZ timestamp is
+    bucketed with timestampdiff against a fixed epoch (Spark 4 refuses a
+    direct NTZ→bigint cast)."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    bucket = F.floor(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '2023-06-01 00:00:00',"
+            " warc_ts)"
+        )
+        / 10
+    )
+    per_bucket = (
+        pages.select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("host", "bucket")
+        .agg(F.count("*").alias("n_req"))
+    )
+    return per_bucket.groupBy("host").agg(
+        F.sum("n_req").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("n_req").cast("bigint").alias("burst_max"),
+        (F.max("n_req") > 20).alias("violates"),
+    )
+
+
+ORACLE_POLITENESS = f"""
+WITH pages AS (
+  SELECT url, warc_ts
+  {_PAGES_SRC}
+), per_bucket AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         CAST(floor(date_diff('second', TIMESTAMP '2023-06-01 00:00:00',
+                              warc_ts) / 10.0) AS BIGINT) AS bucket,
+         count(*) AS n_req
+  FROM pages GROUP BY 1, 2
+)
+SELECT host, CAST(sum(n_req) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n_req) AS BIGINT) AS burst_max,
+       max(n_req) > 20 AS violates
+FROM per_bucket GROUP BY host
+"""
+
+
+WEB_QUERIES_F: dict[str, QuerySpec] = {
+    "span3_dedup_stats": QuerySpec(q_span3_dedup_stats, ORACLE_SPAN3),
+    "outlink_frontier": QuerySpec(q_outlink_frontier, ORACLE_FRONTIER),
+    "crawl_diff": QuerySpec(q_crawl_diff, ORACLE_CRAWL_DIFF),
+    "url_filter_gate": QuerySpec(q_url_filter_gate, ORACLE_URL_GATE),
+    "dom_blocks_native": QuerySpec(q_dom_blocks_native, ORACLE_DOM_BLOCKS),
+    "politeness_audit": QuerySpec(q_politeness_audit, ORACLE_POLITENESS),
+}
+EXT_QUERIES.update(WEB_QUERIES_F)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path

@@ -1,0 +1,182 @@
+"""Webtext wave F: C4 3-sentence-span global dedup, exact outlink
+frontier, cross-crawl CDX diff, URL filter gate, native Boilerpipe-style
+DOM-block classifier, crawl-politeness burst audit.
+
+Cross-engine hash parity is held by tools/check_oracles.py (green at
+sf0.001/0.01/0.1); these tests pin the SEMANTICS a crawler/curation
+pipeline relies on, independently of the DuckDB mirror.
+"""
+
+from pyspark.sql import functions as F
+
+from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+    q_crawl_diff,
+    q_dom_blocks_native,
+    q_outlink_frontier,
+    q_politeness_audit,
+    q_span3_dedup_stats,
+    q_url_filter_gate,
+)
+
+# the 12 template hrefs every fixture html page carries (nav 5 + footer 4
+# + sidebar 3) — sources/pages.py _NAV/_FOOTER/_SIDEBAR
+TEMPLATE_HREFS = {
+    "/", "/departments", "/doctors", "/appointments", "/contact",
+    "/terms", "/privacy", "/careers", "/sitemap", "/a", "/b", "/c",
+}
+
+
+class TestSpan3Dedup:
+    def test_mirror_spans_are_all_duplicates(self, spark, sf001_dir):
+        """Every span of a synthesized ?mirror=1 page already occurred in
+        its original, so mirrors with any spans must show dup_frac 1.0."""
+        rows = q_span3_dedup_stats(spark, sf001_dir).collect()
+        mirrors = [r for r in rows if r["url"].endswith("?mirror=1")]
+        assert mirrors, "mirror synthesis produced no rows"
+        with_spans = [r for r in mirrors if r["n_spans"] > 0]
+        assert with_spans, "no mirror had >=3 sentences"
+        assert all(r["dup_span_frac"] == 1.0 for r in with_spans)
+        # spanless docs report frac 0.0, never null
+        assert all(
+            r["dup_span_frac"] == 0.0 for r in rows if r["n_spans"] == 0
+        )
+
+    def test_unique_spans_reconcile(self, spark, sf001_dir):
+        """sum(n_spans - n_dup_spans) == number of DISTINCT spans: every
+        span is counted non-dup exactly once, at its first occurrence."""
+        df = q_span3_dedup_stats(spark, sf001_dir)
+        uniq = df.agg(
+            F.sum(F.col("n_spans") - F.col("n_dup_spans"))
+        ).collect()[0][0]
+        total = df.agg(F.sum("n_spans")).collect()[0][0]
+        # mirrors double every 5th doc's spans, so dups exist
+        assert 0 < uniq < total
+
+
+class TestOutlinkFrontier:
+    def test_frontier_is_exactly_the_template_links(self, spark, sf001_dir):
+        """No template href is ever crawled in the fixture, so each host
+        with html pages has exactly the 12 resolved template urls in its
+        frontier; min url is the host root ('/' resolves shortest)."""
+        rows = q_outlink_frontier(spark, sf001_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["n_frontier"] == len(TEMPLATE_HREFS), r
+            assert r["first_url"] == f"https://{r['host']}/", r
+
+
+class TestCrawlDiff:
+    def test_statuses_match_synthesis_rules(self, spark, sf001_dir):
+        """gone = urls whose page number % 7 == 0; new = % 11 == 0 (as
+        url/new); changed = % 5 == 0 among survivors; rest unchanged."""
+        from medical_vector_database_ocr_ner_spark.plans.queries import (
+            _pages_for_sf,
+        )
+
+        page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+        nums = [
+            r[0]
+            for r in _pages_for_sf(spark, sf001_dir)
+            .select(page_no.alias("n"))
+            .collect()
+        ]
+        # .pdf urls have no trailing digits -> page_no is NULL -> the
+        # % predicates are NULL -> dropped from crawl B -> "gone" (the
+        # same NULL semantics in both engines)
+        expected = {
+            "gone": sum(1 for n in nums if n is None or n % 7 == 0),
+            "new": sum(1 for n in nums if n is not None and n % 11 == 0),
+            "changed": sum(
+                1 for n in nums if n is not None and n % 7 != 0 and n % 5 == 0
+            ),
+            "unchanged": sum(
+                1 for n in nums if n is not None and n % 7 != 0 and n % 5 != 0
+            ),
+        }
+        rows = q_crawl_diff(spark, sf001_dir).collect()
+        got = {}
+        for r in rows:
+            got[r["status"]] = got.get(r["status"], 0) + r["n"]
+        assert got == expected
+
+
+class TestUrlFilterGate:
+    def test_every_rule_fires_and_counts_reconcile(self, spark, sf001_dir):
+        rows = {r["rule"]: r for r in q_url_filter_gate(spark, sf001_dir).collect()}
+        assert set(rows) == {
+            "pass", "bad_scheme", "url_too_long", "has_query",
+            "binary_route", "banned_ext", "path_too_deep",
+        }
+        from medical_vector_database_ocr_ner_spark.plans.queries import (
+            _pages_for_sf,
+        )
+
+        pages = _pages_for_sf(spark, sf001_dir)
+        n_pages = pages.count()
+        n_bin = pages.where(F.col("url").contains("/bin/")).count()
+        # fixture urls hit only pass/binary_route; the 6 probes add one
+        # url per remaining rule (and one more binary_route)
+        assert rows["pass"]["n_urls"] == n_pages - n_bin
+        assert rows["binary_route"]["n_urls"] == n_bin + 1
+        for rule in ("bad_scheme", "url_too_long", "has_query",
+                     "banned_ext", "path_too_deep"):
+            assert rows[rule]["n_urls"] == 1, rule
+
+
+class TestDomBlocksNative:
+    def test_boilerplate_rejected_content_kept(self, spark, sf001_dir):
+        """On the pinned page 0 the classifier must keep the clinical
+        main-content block and drop nav/footer/sidebar/title — the
+        densitometric rule doing Boilerpipe's job natively."""
+        row = (
+            q_dom_blocks_native(spark, sf001_dir)
+            .where(F.col("url").endswith("/page/0"))
+            .collect()[0]
+        )
+        assert "Patient John Smith was diagnosed" in row["main_text"]
+        for boiler in ("Find a doctor", "Terms of service",
+                       "Cardiology news", "Example Health</title>"):
+            assert boiler not in row["main_text"], boiler
+        assert 1 <= row["n_content"] < row["n_segments"]
+
+    def test_agrees_with_pandas_extractor_on_main_block(
+        self, spark, sf001_dir
+    ):
+        """The native tier and the byte-parity mapInPandas extractor must
+        agree on WHERE the content is: the native main_text contains the
+        extractor's main block text (modulo whitespace collapse) for the
+        pinned clinical page."""
+        from medical_vector_database_ocr_ner_spark.core.html_extract import (
+            extract_main_content,
+        )
+        from medical_vector_database_ocr_ner_spark.plans.queries import (
+            _pages_for_sf,
+        )
+
+        page0 = (
+            _pages_for_sf(spark, sf001_dir)
+            .where(F.col("url").endswith("/page/0"))
+            .collect()[0]
+        )
+        golden = extract_main_content(bytes(page0["html"]))
+        native = (
+            q_dom_blocks_native(spark, sf001_dir)
+            .where(F.col("url").endswith("/page/0"))
+            .collect()[0]["main_text"]
+        )
+        assert golden.split()[0:8] == native.split()[0:8]
+
+
+class TestPolitenessAudit:
+    def test_totals_and_flag_consistency(self, spark, sf001_dir):
+        from medical_vector_database_ocr_ner_spark.plans.queries import (
+            _pages_for_sf,
+        )
+
+        rows = q_politeness_audit(spark, sf001_dir).collect()
+        n_pages = _pages_for_sf(spark, sf001_dir).count()
+        assert sum(r["n_total"] for r in rows) == n_pages
+        for r in rows:
+            assert r["burst_max"] >= 1
+            assert r["violates"] == (r["burst_max"] > 20)
+            assert r["n_buckets"] <= r["n_total"]

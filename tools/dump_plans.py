@@ -136,6 +136,26 @@ SELECTED = [
      "host-authority side is a BroadcastHashJoin; final ranking is "
      "TakeOrderedAndProject (per-partition top-100 + 100-row merge), "
      "never a global sort."),
+    ("dom_blocks_native",
+     "Native Boilerpipe: sentinel-split, per-segment text/link densities, "
+     "and the keep rule all inside one WholeStageCodegen span over the "
+     "FileScan; the ONLY Exchange is the per-url reassembly agg. No "
+     "Python, no joins — block classification at scan speed."),
+    ("span3_dedup_stats",
+     "C4 span-3 dedup: spans built by transform/slice over the collected "
+     "sentence array (codegen, no extra explode-join); first occurrence "
+     "via partial-agg min() on the span hash + equi-join back — the hot "
+     "span collapses map-side, never a corpus-sized window partition."),
+    ("outlink_frontier",
+     "Exact frontier: explode→distinct shuffles once on out_url (uniform "
+     "hash even under host skew), then the LeftAnti join against the "
+     "crawled scan reuses the same url partitioning; per-host rollup is "
+     "a tiny agg."),
+    ("crawl_diff",
+     "Snapshot merge: ONE full-outer SortMergeJoin co-partitioned on url "
+     "— both 10^12-row crawls shuffle exactly once on the join key; "
+     "status classification is a codegen CASE in the join project; the "
+     "(host, status) rollup is the only other Exchange."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
