@@ -224,3 +224,25 @@ def redact_map_col(map_col: Column) -> Column:
         return F.when(cond, F.lit("[REDACTED]")).otherwise(v)
 
     return F.transform_values(map_col, _redact)
+
+
+def url_filter_rule_col(url: Column) -> Column:
+    """First-failing-rule classification for a url (or 'pass') — the
+    zeroth, bytes-free tier of the curation funnel (C4/CCNet both gate on
+    the url before any fetch/decode). Single-sourced here so the batch
+    gate query (plans/queries_ext.q_url_filter_gate), its DuckDB oracle,
+    and the streaming frontier admission (streaming/frontier.py) cannot
+    drift. Pure codegen CASE over one string column."""
+    path = F.regexp_extract(url, r"^https?://[^/]+(/.*)?$", 1)
+    return (
+        F.when(~url.rlike(r"^https?://"), F.lit("bad_scheme"))
+        .when(F.length(url) > 80, F.lit("url_too_long"))
+        .when(url.contains("?"), F.lit("has_query"))
+        .when(path.rlike(r"^/(bin|cgi-bin)/"), F.lit("binary_route"))
+        .when(
+            path.rlike(r"\.(exe|zip|jpg|jpeg|png|gif|css|js)$"),
+            F.lit("banned_ext"),
+        )
+        .when(F.size(F.split(path, "/")) - 1 > 4, F.lit("path_too_deep"))
+        .otherwise(F.lit("pass"))
+    )

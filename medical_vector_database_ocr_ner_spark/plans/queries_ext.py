@@ -3138,21 +3138,11 @@ def q_url_filter_gate(spark, sf):
     agg — scan-bound, zero joins, zero Python."""
     from .queries import _pages_for_sf
 
+    from ..functions.columns import url_filter_rule_col
+
     probes = spark.createDataFrame([(u,) for u in _URL_PROBES], "url string")
     pages = _pages_for_sf(spark, sf).select("url").unionByName(probes)
-    path = F.regexp_extract("url", r"^https?://[^/]+(/.*)?$", 1)
-    rule = (
-        F.when(~F.col("url").rlike(r"^https?://"), F.lit("bad_scheme"))
-        .when(F.length("url") > 80, F.lit("url_too_long"))
-        .when(F.col("url").contains("?"), F.lit("has_query"))
-        .when(path.rlike(r"^/(bin|cgi-bin)/"), F.lit("binary_route"))
-        .when(
-            path.rlike(r"\.(exe|zip|jpg|jpeg|png|gif|css|js)$"),
-            F.lit("banned_ext"),
-        )
-        .when(F.size(F.split(path, "/")) - 1 > 4, F.lit("path_too_deep"))
-        .otherwise(F.lit("pass"))
-    )
+    rule = url_filter_rule_col(F.col("url"))
     return (
         pages.select(
             F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
