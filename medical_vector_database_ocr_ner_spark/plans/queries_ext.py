@@ -3386,6 +3386,103 @@ WEB_QUERIES_F: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_F)
 
 
+# === webtext wave G (round 3, fifth session) ================================
+# Robots compliance as a broadcast-rules join — the crawl-ops gate that,
+# unlike the URL filter (a pure function of the url), depends on a
+# fetched per-host RULES table.
+
+
+def q_robots_compliance(spark, sf):
+    """Robots.txt compliance audit: per host, how many crawled urls a
+    Disallow-prefix rule set would have blocked. The rules table is
+    synthesized deterministically from the host set (every host disallows
+    /cgi-bin/; hosts are split by a portable 60-bit hash into thirds that
+    additionally disallow /bin/ or /doc/) — in production it is the
+    fetched robots.txt corpus, which is small (one row per host, a few
+    prefixes each) no matter how big the crawl is.
+
+    Scale shape: the rules side is one-row-per-host → BROADCAST; the
+    compliance check is a native `exists` over the prefix array inside
+    the join project — the 10^12-row crawl never shuffles for the audit,
+    and the per-host rollup is the only Exchange. This is the
+    rules-driven twin of url_filter_gate (pure function of the url) and
+    domain_blocklist_filter (host membership): prefix semantics need the
+    array join, not an equi-join."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf).select("url")
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    withhost = pages.select("url", host.alias("host"))
+    hosts = withhost.select("host").distinct()
+    m3 = F.pmod(
+        F.expr("cast(conv(substring(md5(host), 1, 15), 16, 10) as bigint)"),
+        F.lit(3),
+    )
+    rules = hosts.select(
+        "host",
+        F.when(
+            m3 == 0, F.array(F.lit("/cgi-bin/"), F.lit("/bin/"))
+        )
+        .when(m3 == 1, F.array(F.lit("/cgi-bin/"), F.lit("/doc/")))
+        .otherwise(F.array(F.lit("/cgi-bin/")))
+        .alias("disallow"),
+    )
+    path = F.regexp_extract("url", r"^https?://[^/]+(/.*)?$", 1)
+    joined = withhost.join(F.broadcast(rules), "host").select(
+        "host",
+        F.exists(
+            "disallow", lambda p: path.startswith(p)
+        ).alias("blocked"),
+    )
+    return joined.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum(F.col("blocked").cast("int")).cast("bigint").alias("n_blocked"),
+        (
+            F.sum(F.col("blocked").cast("int"))
+            / F.count("*").cast("double")
+        ).alias("blocked_frac"),
+    )
+
+
+ORACLE_ROBOTS = f"""
+WITH pages AS (
+  SELECT url
+  {_PAGES_SRC}
+), withhost AS (
+  SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https?://[^/]+(/.*)?$', 1) AS path
+  FROM pages
+), rules AS (
+  SELECT host,
+         CASE CAST(concat('0x', substr(md5(host), 1, 15)) AS BIGINT) % 3
+              WHEN 0 THEN ['/cgi-bin/', '/bin/']
+              WHEN 1 THEN ['/cgi-bin/', '/doc/']
+              ELSE ['/cgi-bin/'] END AS disallow
+  FROM (SELECT DISTINCT host FROM withhost)
+), joined AS (
+  SELECT w.host,
+         len(list_filter(r.disallow, p -> starts_with(w.path, p))) > 0
+             AS blocked
+  FROM withhost w JOIN rules r ON w.host = r.host
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_blocked,
+       sum(CASE WHEN blocked THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+           AS blocked_frac
+FROM joined GROUP BY host
+"""
+
+
+WEB_QUERIES_G: dict[str, QuerySpec] = {
+    # outside the driver's 50-row window this round (the window is full
+    # with never-verified entries) — local gate + pytest cover it; rotate
+    # it in with bloom_url_seen in round 4
+    "robots_compliance": QuerySpec(q_robots_compliance, ORACLE_ROBOTS),
+}
+EXT_QUERIES.update(WEB_QUERIES_G)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
