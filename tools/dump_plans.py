@@ -156,6 +156,11 @@ SELECTED = [
      "— both 10^12-row crawls shuffle exactly once on the join key; "
      "status classification is a codegen CASE in the join project; the "
      "(host, status) rollup is the only other Exchange."),
+    ("robots_compliance",
+     "Rules-driven gate: the per-host Disallow table reaches the crawl "
+     "via BroadcastHashJoin; the prefix check is a native exists over "
+     "the rule array inside the join project — the crawl side never "
+     "shuffles for the audit, only the per-host rollup exchanges."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
