@@ -198,6 +198,102 @@ class TestDomBlocksNative:
         ]
         assert not disagree, disagree[:5]
 
+    def test_settles_generated_wellformed_pages(self, spark):
+        """Generator-based tier-boundary check: 300 seeded-random
+        WELL-FORMED pages (varied nav/aside/header/footer combinations,
+        1-5 main paragraphs of 15-25 words, link-dense or short
+        boilerplate) must ALL settle identically to the HTMLParser path.
+        This pins the settle-tier domain — structurally-regular pages —
+        beyond the fixture's single template; malformed/boundary HTML
+        stays the UDF tail's job by design."""
+        import random
+
+        from medical_vector_database_ocr_ner_spark.core.html_extract import (
+            extract_main_content,
+        )
+
+        rng = random.Random(20260817)
+
+        def words(n):
+            return " ".join(
+                "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                        for _ in range(rng.randrange(3, 9)))
+                for _ in range(n)
+            )
+
+        def link():
+            w = words(1)
+            return f'<a href="/{w}">{w}</a>'
+
+        pages = []
+        for i in range(300):
+            parts = ["<!doctype html><html><head>"]
+            parts.append(f"<title>{words(rng.randrange(1, 4))}</title>")
+            if rng.random() < 0.5:
+                parts.append("<script>var x=1;function f(){return x}</script>")
+            if rng.random() < 0.5:
+                parts.append("<style>.m{margin:0}</style>")
+            parts.append("</head><body>")
+            if rng.random() < 0.8:
+                parts.append(
+                    "<nav>" + " ".join(link() for _ in range(
+                        rng.randrange(2, 6))) + "</nav>"
+                )
+            if rng.random() < 0.6:
+                parts.append(
+                    f"<header><h1>{words(rng.randrange(1, 4))}</h1></header>"
+                )
+            if rng.random() < 0.5:
+                parts.append(
+                    f"<aside><h3>{words(1)}</h3>"
+                    + " ".join(link() for _ in range(rng.randrange(2, 4)))
+                    + "</aside>"
+                )
+            paras = "".join(
+                f"<p>{words(rng.randrange(15, 26))}.</p>"
+                for _ in range(rng.randrange(1, 6))
+            )
+            parts.append(f"<main><article>{paras}</article></main>")
+            if rng.random() < 0.7:
+                footer = " ".join(link() for _ in range(rng.randrange(2, 5)))
+                if rng.random() < 0.5:
+                    footer += f"<p>© {words(1)}</p>"
+                parts.append(f"<footer>{footer}</footer>")
+            parts.append("</body></html>")
+            pages.append((f"https://gen.example/p/{i}",
+                          "".join(parts).encode()))
+
+        df = spark.createDataFrame(pages, "url string, html binary")
+        from medical_vector_database_ocr_ner_spark.plans import queries_ext
+
+        # drive the same expression chain as q_dom_blocks_native over the
+        # generated frame (the query fn is bound to the fixture loader)
+        native = {
+            r["url"]: r["main_text"]
+            for r in self._native_over(df).collect()
+        }
+        mismatches = []
+        for url, html in pages:
+            gold = " ".join(extract_main_content(html).split())
+            nat = " ".join(native[url].split())
+            if gold != nat:
+                mismatches.append((url, gold[:60], nat[:60]))
+        assert not mismatches, mismatches[:3]
+
+    @staticmethod
+    def _native_over(pages_df):
+        """q_dom_blocks_native's expression chain applied to an arbitrary
+        (url, html) frame — kept in lockstep with the query by reusing its
+        source through a monkeypatched loader."""
+        from unittest import mock
+
+        from medical_vector_database_ocr_ner_spark.plans import queries, queries_ext
+
+        with mock.patch.object(
+            queries, "_pages_for_sf", lambda spark, sf: pages_df
+        ):
+            return queries_ext.q_dom_blocks_native(None, None)
+
 
 class TestPolitenessAudit:
     def test_totals_and_flag_consistency(self, spark, sf001_dir):
