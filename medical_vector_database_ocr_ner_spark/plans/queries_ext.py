@@ -2368,6 +2368,44 @@ _PAGES_SRC = f"""
 """
 
 
+def _first_occ_tagged(keyed, hot_df: int = 64):
+    """Tag each (h, occ) row with its key's global first occurrence —
+    WITHOUT ever routing a hot key's full occurrence set to one reducer.
+
+    The naive form (groupBy(h).min + plain equi-join back) has a genuine
+    10^12-scale killer that AQE does NOT repair: skew-join splitting
+    requires both SMJ children to be plain shuffle reads, and here the
+    firsts side sits behind the final HashAggregate, so the optimizer
+    leaves the join partitioning intact (measured: the clean two-shuffle
+    join rewrites to SortMergeJoin(skew=true) + 'AQEShuffleRead coalesced
+    and skewed' under the same thresholds; this shape only coalesces —
+    see SCALE.md round-3 fifth-session delta). An everywhere-sentence (a
+    footer on all 10^12 pages) would therefore pile its entire occurrence
+    set onto a single reducer.
+
+    Fix = the textbook hot/cold split, result-identical at any setting:
+    the stats agg (min + document frequency) still collapses map-side;
+    keys with df >= hot_df — at most total/hot_df of them, so the hot
+    relation is broadcastable by construction — join back map-side via
+    BroadcastHashJoin, and the cold tail (every key's partition bounded
+    by hot_df rows) takes the SortMergeJoin. hot_df=64 exercises the hot
+    path on the fixture's footer sentence at every test scale; a 10^12
+    deployment sets it ~10^6 (hot set <= 10^6 keys, cold partitions
+    <= 10^6 rows)."""
+    stats = keyed.groupBy("h").agg(
+        F.min("occ").alias("first_occ"), F.count("*").alias("_df")
+    )
+    hot = F.broadcast(stats.where(F.col("_df") >= hot_df).drop("_df"))
+    cold = stats.where(F.col("_df") < hot_df).drop("_df")
+    tagged_hot = keyed.join(hot, "h")
+    tagged_cold = keyed.join(hot.select("h"), "h", "left_anti").join(
+        cold, "h"
+    )
+    return tagged_hot.unionByName(tagged_cold).withColumn(
+        "keep", F.col("occ") == F.col("first_occ")
+    )
+
+
 def q_sentence_dedup_global(spark, sf):
     """C4-style GLOBAL sentence dedup with per-document text rebuild: every
     `<p>` block is a sentence; a sentence is kept only at its first global
@@ -2376,13 +2414,12 @@ def q_sentence_dedup_global(spark, sf):
     page — survive exactly once. This is the C4 paper's 'discard duplicate
     three-sentence spans' primitive at span length 1.
 
-    Scale shape: first-occurrence is resolved with groupBy(min) + an
-    equi-join back on the sentence hash — NOT a row_number window — because
-    the hot key (a sentence on all 10^12 pages) would otherwise sort one
-    corpus-sized window partition on a single reducer. The partial-agg
-    min() combines map-side, so the hot hash reaches the reducer as one
-    row per map task; the join back is skewed on the probe side only,
-    which AQE skew-join splits. Rebuild concatenates kept sentences in
+    Scale shape: first-occurrence resolution goes through
+    _first_occ_tagged — map-side-combinable stats agg, then a hot/cold
+    split join-back (broadcast for keys with df >= hot_df, skew-free
+    SortMergeJoin for the bounded cold tail), because AQE's skew-join
+    CANNOT split the naive agg-fed equi-join (measured; see the helper's
+    docstring and SCALE.md). Rebuild concatenates kept sentences in
     document order via array_sort on (pos, sent) structs — per-url state
     only, bounded by document size."""
     from .queries import _pages_for_sf
@@ -2406,10 +2443,7 @@ def q_sentence_dedup_global(spark, sf):
             F.col("url"), F.lit("#"), F.lpad(F.col("pos").cast("string"), 8, "0")
         ).alias("occ"),
     )
-    firsts = keyed.groupBy("h").agg(F.min("occ").alias("first_occ"))
-    tagged = keyed.join(firsts, "h").withColumn(
-        "keep", F.col("occ") == F.col("first_occ")
-    )
+    tagged = _first_occ_tagged(keyed)
     return (
         tagged.groupBy("url")
         .agg(
@@ -2842,9 +2876,9 @@ def q_span3_dedup_stats(spark, sf):
     bytes — the syndication case — and every span of a mirror must be
     flagged duplicate.
 
-    Scale shape: same as wave E — first occurrence via map-side-combinable
-    groupBy(min) on the span hash + equi-join back, never a row_number
-    window whose hot-span partition would serialize one reducer; spans per
+    Scale shape: same as wave E — first occurrence via the hot/cold
+    split of _first_occ_tagged (broadcast hot keys, skew-free cold
+    SortMergeJoin), never a row_number window; spans per
     document are bounded by document length (the transform/slice runs
     inside codegen over the already-collected sentence array, no second
     explode-join)."""
@@ -2888,13 +2922,12 @@ def q_span3_dedup_stats(spark, sf):
             F.lpad((F.col("pos0") + 1).cast("string"), 8, "0"),
         ).alias("occ"),
     )
-    firsts = occ.groupBy("h").agg(F.min("occ").alias("first_occ"))
     per_url = (
-        occ.join(firsts, "h")
+        _first_occ_tagged(occ)
         .groupBy("url")
         .agg(
             F.count("*").alias("n_spans"),
-            F.sum((F.col("occ") != F.col("first_occ")).cast("int"))
+            F.sum((~F.col("keep")).cast("int"))
             .cast("bigint")
             .alias("n_dup_spans"),
         )

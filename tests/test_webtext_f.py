@@ -308,3 +308,50 @@ class TestPolitenessAudit:
             assert r["burst_max"] >= 1
             assert r["violates"] == (r["burst_max"] > 20)
             assert r["n_buckets"] <= r["n_total"]
+
+
+class TestFirstOccHotColdSplit:
+    def test_hot_key_returns_via_broadcast(self, spark, sf001_dir):
+        """The dedup join-back must carry the hot/cold split: a
+        BroadcastHashJoin for hot keys (the fixture footer has df=180 >=
+        hot_df=64, so the hot path is exercised at every test scale), a
+        broadcast LeftAnti carving the cold probe, and a SortMergeJoin
+        ONLY for the bounded cold tail. AQE cannot skew-split the naive
+        agg-fed join (measured — see _first_occ_tagged), so this split is
+        the load-bearing skew defence."""
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_sentence_dedup_global,
+        )
+
+        plan = q_sentence_dedup_global(spark, sf001_dir)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Union" in plan
+
+    def test_split_is_result_identical_across_hot_df(self, spark, sf001_dir):
+        """hot_df only changes the physical route, never the answer: the
+        all-cold setting (hot_df > any df) must produce identical rows."""
+        from pyspark.sql import functions as F
+
+        from medical_vector_database_ocr_ner_spark.plans import queries_ext
+
+        base = {}
+        for r in queries_ext.q_sentence_dedup_global(
+            spark, sf001_dir
+        ).collect():
+            base[r["url"]] = (r["n_sents"], r["n_kept"], r["kept_text"])
+
+        from unittest import mock
+
+        orig = queries_ext._first_occ_tagged
+        with mock.patch.object(
+            queries_ext, "_first_occ_tagged",
+            lambda keyed, hot_df=64: orig(keyed, hot_df=10**9),
+        ):
+            allcold = {
+                r["url"]: (r["n_sents"], r["n_kept"], r["kept_text"])
+                for r in queries_ext.q_sentence_dedup_global(
+                    spark, sf001_dir
+                ).collect()
+            }
+        assert base == allcold

@@ -117,11 +117,12 @@ SELECTED = [
      "mass keeps all three iterations hash-exact against the DuckDB "
      "mirror."),
     ("sentence_dedup_global",
-     "Global sentence dedup: first-occurrence via partial-agg min() on the "
-     "sentence hash (map-side combine collapses the everywhere-footer hot "
-     "key to one row per map task) + equi-join back — NO row_number window "
-     "whose hot-sentence partition would sort corpus-sized data on one "
-     "reducer; per-url rebuild is a keyed agg with array_sort."),
+     "Global sentence dedup: map-side-combinable stats agg, then the "
+     "hot/cold split join-back — the everywhere-footer key returns via "
+     "BroadcastHashJoin (map-side, no reducer ever holds its occurrence "
+     "set) while the bounded cold tail takes the SortMergeJoin. AQE "
+     "cannot skew-split the naive agg-fed join (measured), hence the "
+     "explicit split; per-url rebuild is a keyed agg with array_sort."),
     ("anchor_link_stats",
      "Template-link discovery: two-stage salted HashAggregate on the "
      "(host, href) hot keys (partial on (host, href, url-hash salt)); the "
@@ -144,8 +145,8 @@ SELECTED = [
     ("span3_dedup_stats",
      "C4 span-3 dedup: spans built by transform/slice over the collected "
      "sentence array (codegen, no extra explode-join); first occurrence "
-     "via partial-agg min() on the span hash + equi-join back — the hot "
-     "span collapses map-side, never a corpus-sized window partition."),
+     "via the same hot/cold split as sentence dedup — broadcast hot "
+     "spans, skew-free cold SortMergeJoin."),
     ("outlink_frontier",
      "Exact frontier: explode→distinct shuffles once on out_url (uniform "
      "hash even under host skew), then the LeftAnti join against the "
