@@ -1221,9 +1221,10 @@ FROM base LEFT JOIN g ON base.doc_id = g.doc_id
 def q_chunk_dedup_docs(spark, sf):
     """CCNet-style chunk-level exact dedup signal: split each document
     into non-overlapping 8-word chunks, hash them, and report per doc how
-    many of its chunks appear more than once in the corpus. One shuffle on
-    the 32-hex chunk hash (window count), one per-doc agg — key size is
-    constant, no text travels twice."""
+    many of its chunks appear more than once in the corpus. The global
+    count is a map-side-combinable agg joined back through the hot/cold
+    split (_hot_cold_join) — key size is constant, no text travels twice,
+    and no reducer ever holds a hot chunk's occurrence set."""
     docs = _t(spark, sf, "documents")
     chunks = docs.select(
         "doc_id",
@@ -1234,8 +1235,12 @@ def q_chunk_dedup_docs(spark, sf):
             )
         ).alias("chunk"),
     ).select("doc_id", F.md5("chunk").alias("h"))
-    w = Window.partitionBy("h")
-    tagged = chunks.withColumn("n_global", F.count("*").over(w))
+    # NOT Window.partitionBy(h).count(): a boilerplate chunk shared by the
+    # whole corpus would materialize its occurrence set on one reducer,
+    # and AQE cannot skew-split the agg-fed join-back either — same
+    # hot/cold split as the global sentence/span dedup
+    stats = chunks.groupBy("h").agg(F.count("*").alias("n_global"))
+    tagged = _hot_cold_join(chunks, stats, "n_global", 64)
     return (
         tagged.groupBy("doc_id")
         .agg(
@@ -1328,16 +1333,42 @@ GROUP BY 1
 
 def q_length_outliers_by_lang(spark, sf):
     """Per-language length-outlier filter (drop the shortest/longest 5%
-    within each language): exact percent_rank over a window partitioned by
-    lang — bounded partitions (one language's docs), deterministic under
-    ties because rank depends only on n_chars."""
+    within each language), with EXACT percent_rank semantics but no
+    per-language window: Window.partitionBy(lang) would put a whole
+    language on one reducer (English is ~40% of the web). Instead the
+    per-(lang, n_chars) counts aggregate map-side (at most
+    n_langs x distinct-lengths rows — bounded by max document length,
+    not corpus size), a tiny running window over THAT table yields each
+    length's strictly-smaller count, and the rank table broadcasts back
+    onto the docs scan — the corpus never shuffles at all.
+    percent_rank == (strictly_smaller)/(n_lang - 1) reproduces the
+    window function exactly, ties included."""
     docs = _t(spark, sf, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars")
-    pr = F.percent_rank().over(w)
-    return docs.select(
-        "doc_id", "lang", "n_chars", pr.alias("length_pr")
-    ).withColumn(
-        "keep", (F.col("length_pr") >= 0.05) & (F.col("length_pr") <= 0.95)
+    cnt = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang").orderBy("n_chars")
+    ranks = cnt.select(
+        "lang",
+        "n_chars",
+        F.coalesce(
+            F.sum("c").over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("smaller"),
+        F.sum("c").over(
+            Window.partitionBy("lang").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_lang"),
+    )
+    pr = F.when(F.col("n_lang") > 1,
+                F.col("smaller") / (F.col("n_lang") - 1).cast("double")
+                ).otherwise(F.lit(0.0))
+    return (
+        docs.join(F.broadcast(ranks), ["lang", "n_chars"])
+        .select("doc_id", "lang", "n_chars", pr.alias("length_pr"))
+        .withColumn(
+            "keep",
+            (F.col("length_pr") >= 0.05) & (F.col("length_pr") <= 0.95),
+        )
     )
 
 
@@ -2395,14 +2426,23 @@ def _first_occ_tagged(keyed, hot_df: int = 64):
     stats = keyed.groupBy("h").agg(
         F.min("occ").alias("first_occ"), F.count("*").alias("_df")
     )
-    hot = F.broadcast(stats.where(F.col("_df") >= hot_df).drop("_df"))
-    cold = stats.where(F.col("_df") < hot_df).drop("_df")
-    tagged_hot = keyed.join(hot, "h")
-    tagged_cold = keyed.join(hot.select("h"), "h", "left_anti").join(
-        cold, "h"
-    )
-    return tagged_hot.unionByName(tagged_cold).withColumn(
+    return _hot_cold_join(keyed, stats, "_df", hot_df).drop("_df").withColumn(
         "keep", F.col("occ") == F.col("first_occ")
+    )
+
+
+def _hot_cold_join(keyed, stats, freq_col: str, hot_df: int):
+    """Join per-key stats back onto a corpus-sized keyed frame without a
+    hot-key reducer: keys whose frequency >= hot_df (at most
+    total/hot_df of them — broadcastable by construction) return
+    map-side via BroadcastHashJoin; a broadcast LeftAnti carves the cold
+    probe; only the bounded cold tail (every key < hot_df rows) takes
+    the SortMergeJoin. Needed because AQE cannot skew-split a join whose
+    build side sits behind an aggregate (measured — see SCALE.md)."""
+    hot = F.broadcast(stats.where(F.col(freq_col) >= hot_df))
+    cold = stats.where(F.col(freq_col) < hot_df)
+    return keyed.join(hot, "h").unionByName(
+        keyed.join(hot.select("h"), "h", "left_anti").join(cold, "h")
     )
 
 
