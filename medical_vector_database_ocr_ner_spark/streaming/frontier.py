@@ -91,18 +91,37 @@ def run_frontier_stream(
         )
     stream = reader.load(pages_dir)
 
+    def subtract_seen(fresh, seen):
+        """fresh MINUS seen without shuffling the corpus-sized seen side.
+
+        A plain fresh.join(seen, left_anti) shuffles BOTH sides on the
+        url (Spark cannot build-left a broadcast anti join), so every
+        micro-batch would re-shuffle the whole sink. Instead probe the
+        big side map-side: seen ⋉ broadcast(fresh) finds the already-seen
+        subset (≤ |fresh| rows, scan + broadcast semi join, zero
+        Exchange on seen), which then broadcasts back as the anti side.
+        At 10^12 urls the remaining per-batch cost is one sink SCAN —
+        cut further by bucketing the sink on url-hash so the probe
+        prunes to matching buckets."""
+        matched = seen.join(F.broadcast(fresh.select("out_url")),
+                            "out_url", "left_semi")
+        return fresh.join(F.broadcast(matched), "out_url", "left_anti")
+
     def emit_batch(batch_df, batch_id: int) -> None:
         fresh = batch_df.select("host", "out_url").dropDuplicates(["out_url"])
         if os.path.exists(frontier_dir) and any(
             f.endswith(".parquet") for f in os.listdir(frontier_dir)
         ):
-            seen = spark.read.parquet(frontier_dir).select("out_url")
-            fresh = fresh.join(seen, "out_url", "left_anti")
-        if crawled_dir is not None:
-            crawled = spark.read.parquet(crawled_dir).select(
-                F.col("url").alias("out_url")
+            fresh = subtract_seen(
+                fresh, spark.read.parquet(frontier_dir).select("out_url")
             )
-            fresh = fresh.join(crawled, "out_url", "left_anti")
+        if crawled_dir is not None:
+            fresh = subtract_seen(
+                fresh,
+                spark.read.parquet(crawled_dir).select(
+                    F.col("url").alias("out_url")
+                ),
+            )
         fresh.write.mode("append").parquet(frontier_dir)
 
     return (
