@@ -92,20 +92,11 @@ def run_frontier_stream(
     stream = reader.load(pages_dir)
 
     def subtract_seen(fresh, seen):
-        """fresh MINUS seen without shuffling the corpus-sized seen side.
+        # operators.skewjoin.subtract_by_key: sink scanned map-side, never
+        # shuffled per batch; bucket the sink on url-hash to prune further
+        from ..operators.skewjoin import subtract_by_key
 
-        A plain fresh.join(seen, left_anti) shuffles BOTH sides on the
-        url (Spark cannot build-left a broadcast anti join), so every
-        micro-batch would re-shuffle the whole sink. Instead probe the
-        big side map-side: seen ⋉ broadcast(fresh) finds the already-seen
-        subset (≤ |fresh| rows, scan + broadcast semi join, zero
-        Exchange on seen), which then broadcasts back as the anti side.
-        At 10^12 urls the remaining per-batch cost is one sink SCAN —
-        cut further by bucketing the sink on url-hash so the probe
-        prunes to matching buckets."""
-        matched = seen.join(F.broadcast(fresh.select("out_url")),
-                            "out_url", "left_semi")
-        return fresh.join(F.broadcast(matched), "out_url", "left_anti")
+        return subtract_by_key(fresh, seen, "out_url")
 
     def emit_batch(batch_df, batch_id: int) -> None:
         fresh = batch_df.select("host", "out_url").dropDuplicates(["out_url"])

@@ -47,8 +47,13 @@ def incremental_ingest(
             if os.path.exists(emb_dir) and any(
                 f.endswith(".parquet") for f in os.listdir(emb_dir)
             ):
+                # subtract_by_key: the corpus-sized sink is scanned
+                # map-side, never shuffled per micro-batch (a plain
+                # left_anti would shuffle both sides on vec_id)
+                from ..operators.skewjoin import subtract_by_key
+
                 existing = spark.read.parquet(emb_dir).select("vec_id")
-                emb = emb.join(existing, "vec_id", "left_anti")
+                emb = subtract_by_key(emb, existing, "vec_id")
             emb.write.mode("append").parquet(emb_dir)
         finally:
             docs.unpersist()
