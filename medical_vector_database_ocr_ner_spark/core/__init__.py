@@ -53,4 +53,12 @@ from .validation import (
     digit_ratio,
     sanitize_string,
 )
-from .ocr import fake_pdf_bytes, ocr_pdf_pages, word_confidence, mean_confidence
+from .ocr import (
+    fake_pdf_bytes,
+    fake_png_bytes,
+    ocr_image,
+    ocr_payload_pages,
+    ocr_pdf_pages,
+    word_confidence,
+    mean_confidence,
+)

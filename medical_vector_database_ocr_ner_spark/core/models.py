@@ -83,11 +83,15 @@ class ModelSeam:
         """Call inside the worker, once per partition: returns the
         initialized model functions (worker-cached where possible)."""
         from . import (
-            embed_text, extract_entities, extract_main_content, ocr_pdf_pages,
+            embed_text, extract_entities, extract_main_content,
+            ocr_payload_pages,
         )
 
         return ResolvedModels(
-            ocr=resolve_factory(self.ocr_factory, ocr_pdf_pages),
+            # default OCR handles BOTH pdf containers (page expansion) and
+            # image containers (single page) — reference process_document
+            # routes the same way (ocr_service.py:193-208)
+            ocr=resolve_factory(self.ocr_factory, ocr_payload_pages),
             ner=resolve_factory(self.ner_factory, extract_entities),
             embed=resolve_factory(self.embed_factory, embed_text),
             html=resolve_factory(self.html_factory, extract_main_content),

@@ -65,3 +65,46 @@ def ocr_pdf_pages(data: bytes) -> list[tuple[str, float]]:
         body = body[: -len(b"\n%%EOF")]
     pages = body.split(PAGE_MARKER)
     return [ocr_page(p.decode("utf-8", errors="replace")) for p in pages]
+
+
+# Synthetic image container: PNG magic + a tEXt-style marker + utf-8 text.
+# Stands in for a scanned-page image exactly like the %PDF container above
+# stands in for a real PDF; a real tesseract backend swaps in behind the
+# same signature (ModelSeam.ocr_factory).
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+IMAGE_TEXT_MARKER = b"tEXtocr\x00"
+_IMAGE_MAGICS = (PNG_MAGIC[:4], b"\xff\xd8\xff", b"GIF8")
+
+
+def fake_png_bytes(text: str) -> bytes:
+    """Assemble the synthetic image container used by the fixtures
+    generator (the scan of one printed page)."""
+    return PNG_MAGIC + IMAGE_TEXT_MARKER + text.encode("utf-8")
+
+
+def ocr_image(data: bytes) -> list[tuple[str, float]]:
+    """Single-page image OCR stand-in: the reference's primary input path
+    (extract_text_from_image, ocr_service.py:124-146 — preprocess →
+    image_to_data → words + positive-mean confidence; .jpg/.jpeg/.png/
+    .tiff/.bmp whitelist at ocr_service.py:193-208). Same per-word
+    confidence math as the PDF branch. Non-image payloads → []; real image
+    bytes without embedded fixture text OCR to empty (quarantined upstream
+    as 'no content extracted', mirroring the reference's no-readable-text
+    error path)."""
+    if not any(data.startswith(m) for m in _IMAGE_MAGICS):
+        return []
+    body = data
+    if body.startswith(PNG_MAGIC):
+        body = body[len(PNG_MAGIC):]
+    if body.startswith(IMAGE_TEXT_MARKER):
+        return [ocr_page(body[len(IMAGE_TEXT_MARKER):].decode("utf-8", errors="replace"))]
+    return [("", 0.0)]
+
+
+def ocr_payload_pages(data: bytes) -> list[tuple[str, float]]:
+    """Default seam OCR callable: route a binary payload to PDF page
+    expansion or single-page image OCR by magic bytes (the reference
+    routes by file extension, ocr_service.py:193-208 / 75-122)."""
+    if data.startswith(b"%PDF"):
+        return ocr_pdf_pages(data)
+    return ocr_image(data)

@@ -77,7 +77,10 @@ def _extract_row(
             text = models.html(html or b"")
             words = text.split()
             conf = mean_confidence([word_confidence(w) for w in words])
-        elif kind == "pdf":
+        elif kind in ("pdf", "image"):
+            # pdf → N pages joined; image → the single-page OCR result
+            # (reference's flagship input: extract_text_from_image,
+            # ocr_service.py:124-146; routed by process_document :193-208)
             pages = models.ocr(html or b"")
             text = "\n".join(p[0] for p in pages)
             confs = [p[1] for p in pages]
@@ -158,7 +161,14 @@ def make_ner_udf(seam=None):
 
 def make_embed_udf(seam=None):
     """Seam-aware X5 embedding UDF (same once-per-task/worker resolution
-    via closure cell as make_ner_udf)."""
+    via closure cell as make_ner_udf).
+
+    Hot path is vectorized: each document's vector stays a float32 numpy
+    array and Arrow converts the whole batch — never ``[float(x) for x in
+    vec]`` (384 boxed Python floats per doc on the bench's hottest
+    path)."""
+    import numpy as np
+
     cell: dict = {}
 
     def _embed(texts: pd.Series) -> pd.Series:
@@ -167,7 +177,12 @@ def make_embed_udf(seam=None):
 
             cell["m"] = (seam or DEFAULT_SEAM).resolve()
         models = cell["m"]
-        return texts.map(lambda t: [float(x) for x in models.embed(t or "")])
+        # asarray is a no-op for the built-in embed (already float32
+        # ndarray); real-model seams returning list[float] get one bulk
+        # numpy conversion instead of 384 per-element float() calls
+        return pd.Series(
+            [np.asarray(models.embed(t or ""), dtype=np.float32) for t in texts]
+        )
 
     return pandas_udf(ArrayType(FloatType()))(_embed)
 

@@ -71,16 +71,22 @@ def subtract_by_key(small: "DataFrame", big: "DataFrame", on: str) -> "DataFrame
     """``small`` MINUS (keys present in ``big``) without shuffling the
     big side — the broadcast-anti direction Spark lacks.
 
-    A plain ``small.join(big, on, "left_anti")`` shuffles BOTH sides on
-    the key: Spark only builds the RIGHT side of a broadcast anti join,
-    and the right side here is the corpus-sized one. Instead probe the
-    big side map-side — ``big ⋉ broadcast(small)`` yields the matched
-    key subset (at most |small| rows, scan + broadcast semi join, zero
-    Exchange on big) — then anti-join ``small`` against that broadcast
-    subset. Used by the streaming frontier sink dedup and the
+    A plain ``small.join(big, on, "left_anti")`` typically shuffles BOTH
+    sides on the key (Spark only builds the RIGHT side of a broadcast
+    hash anti join, and the right side here is the corpus-sized one).
+    Instead probe the big side map-side — ``big ⋉ broadcast(small)``
+    yields the matched KEY SET (distinct, so at most |distinct small
+    keys| rows even when ``big`` holds duplicate keys — the broadcast
+    bound must not depend on the sink's uniqueness invariant) — then
+    anti-join ``small`` against that broadcast set. Cost: two broadcasts
+    of ≤|small| keys plus one scan of ``big``; only a win while the
+    batch side fits the broadcast threshold, which is the intended
+    regime. Used by the streaming frontier sink dedup and the
     content-hash embedding upsert, where each micro-batch is tiny and
     the sink is the corpus."""
-    matched = big.select(on).join(
-        F.broadcast(small.select(on)), on, "left_semi"
+    matched = (
+        big.select(on)
+        .join(F.broadcast(small.select(on)), on, "left_semi")
+        .distinct()
     )
     return small.join(F.broadcast(matched), on, "left_anti")

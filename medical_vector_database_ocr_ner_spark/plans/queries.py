@@ -1356,10 +1356,79 @@ _load_ext()
 # Everything past slot 50 stays in the registry (local gate + pytest still
 # cover it) and rotates back in a later round.
 DRIVER_PRIORITY: list[str] = [
-    # tier 1 — never driver-verified as of r2
+    # ---- round-4 window ----
+    # tier 1 — never driver-checked in any round (r1-r3)
+    "bloom_url_seen",
+    "robots_compliance",
+    # tier 1b — were err:"no_oracle" rows in r3; round 4 gives them real
+    # oracles (portable-sketch / golden-parquet), so the driver can finally
+    # hash-verify them
+    "hll_distinct_tokens",
+    "multimodal_image_features",
+    # tier 1c — driver-RED in r3 (CAST_INVALID_INPUT under the driver's
+    # ANSI session); fixed with try_cast this round — re-verify the fix
+    "latest_snapshot_per_url",
+    "url_canonical_dupes",
+    "crawl_diff",
+    # tier 2 — implementation changed in round 4, so prior green rows
+    # verified the old form: image-payload extraction branch
+    # (pages_extraction golden), vectorized embed UDF (semantic_search),
+    # try_cast hardening (domain_blocklist_filter, pagerank_hosts,
+    # url_churn_stats, span3_dedup_stats)
+    "pages_extraction",
+    "semantic_search",
+    "domain_blocklist_filter",
+    "pagerank_hosts",
+    "url_churn_stats",
+    "span3_dedup_stats",
+    # tier 2b — implementation changed in round 3 AFTER their green row
+    # (per round-3 closing audit): re-verify the current form
+    "chunk_dedup_docs",
+    "length_outliers_by_lang",
+    # tier 2c — single-green entries displaced from the r3 window before
+    # wave E/F landed; untouched since their green row — second
+    # confirmation
+    "embedding_quantize",
+    "events_json_extract",
+    "file_size_format",
+    "ivf_topk",
+    "quality_score",
+    "user_sessions",
+    "customers_without_orders",
+    "sliding_hour_avg",
+    "user_running_value",
+    "user_segment_setops",
+    "doc_stats_panel",
+    "lang_source_pivot",
+    "event_funnel",
+    # tier 2d — wave E/F entries green only in r3 — second confirmation
+    "gopher_quality_flags",
+    "host_stats_salted",
+    "rare_token_fraction",
+    "test_set_decontamination",
+    "page_triage_native",
+    "pii_scrub_docs",
+    "boilerplate_line_strip",
+    "token_shard_packing",
+    "quality_linear_score",
+    "domain_cap_sample",
+    "sentence_dedup_global",
+    "anchor_link_stats",
+    "extraction_yield_by_host",
+    "surt_prefix_scan",
+    "recrawl_priority",
+    "outlink_frontier",
+    "url_filter_gate",
+    "dom_blocks_native",
+    "politeness_audit",
+    # tier 2e — r3-first-green entries (single-green) filling the window
     "dup_clusters",
     "cluster_keep_best",
     "ann_batch_topk",
+    "pdf_page_explode",
+    # ---- below the 50-row cut: multi-green anchors + everything else ----
+    # (r1+r2 double-green or r1+r2+r3 triple-green; local gate + pytest
+    # still cover them every session)
     "train_val_test_split",
     "stratified_sample",
     "props_redacted",
@@ -1368,84 +1437,12 @@ DRIVER_PRIORITY: list[str] = [
     "priority_revenue_share",
     "doc_length_histogram",
     "above_avg_orders_sql",
-    "hll_distinct_tokens",
-    "multimodal_image_features",
-    # tier 1b — had only err:"no_oracle" rows in r1/r2; r3 adds golden oracles
-    "pages_extraction",
-    "pdf_page_explode",
-    "semantic_search",
-    # tier 2 — green in exactly one prior round (r3 rotation: the seven
-    # single-green entries displaced for wave E — customers_without_orders,
-    # sliding_hour_avg, user_running_value, user_segment_setops,
-    # doc_stats_panel, lang_source_pivot, event_funnel — were untouched
-    # since their green row, so the union-of-rounds coverage holds)
-    # (r3 fifth-session rotation: of the eight tier-2 entries only these
-    # two remain — their IMPLEMENTATIONS changed in round 3 (long-format
-    # simhash rewrite; tiered JSON validation under the quarantine), so
-    # their single green row verified the old form. The six displaced for
-    # wave F — embedding_quantize, events_json_extract, file_size_format,
-    # ivf_topk, quality_score, user_sessions — are single-green AND
-    # untouched since their green row, so union-of-rounds coverage holds.)
     "json_metadata_quarantine",
     "simhash16",
-    # tier 2b — new in round 3 (webtext training-pipeline wave)
-    "gopher_quality_flags",
-    "chunk_dedup_docs",
-    "host_stats_salted",
-    "length_outliers_by_lang",
-    "rare_token_fraction",
-    "test_set_decontamination",
-    "latest_snapshot_per_url",
-    # tier 2d — new in round 3, second session (webtext wave B)
-    "page_triage_native",
-    "url_canonical_dupes",
-    # tier 2e — new in round 3, second session (webtext wave C); the three
-    # tier-3 anchors they displace from the 50-row window
-    # (exact_dedup_keeper, revenue_by_nation, ngram_jaccard_pairs) are all
-    # double-green (r1 AND r2), so union-coverage is preserved
-    "pii_scrub_docs",
-    "boilerplate_line_strip",
-    "domain_blocklist_filter",
-    "token_shard_packing",
-    # tier 2f — new in round 3, third session (webtext wave D); they take
-    # the window slots of pricing_summary / knn_hydrated / ann_topk_cosine,
-    # all double-green (r1 AND r2), so union-coverage is preserved.
-    # bloom_url_seen (wave D's fourth query) stays OUTSIDE the window by
-    # design — local gate + pytest cover it; rotate it in next round.
-    "pagerank_hosts",
-    "quality_linear_score",
-    "domain_cap_sample",
-    # tier 2g — new in round 3, fourth session (webtext wave E); they take
-    # the window slots of seven tier-2 queries that are single-green AND
-    # untouched since their green row (customers_without_orders,
-    # sliding_hour_avg, user_running_value, user_segment_setops,
-    # doc_stats_panel, lang_source_pivot, event_funnel), so union-coverage
-    # is preserved
-    "sentence_dedup_global",
-    "anchor_link_stats",
-    "url_churn_stats",
-    "extraction_yield_by_host",
-    "surt_prefix_scan",
-    "recrawl_priority",
-    # tier 2h — new in round 3, fifth session (webtext wave F); they take
-    # the six slots freed above. bloom_url_seen still waits outside the
-    # window (local gate + pytest cover it; rotate it in round 4 along
-    # with the wave F/E entries' second confirmations).
-    "span3_dedup_stats",
-    "outlink_frontier",
-    "crawl_diff",
-    "url_filter_gate",
-    "dom_blocks_native",
-    "politeness_audit",
-    # tier 2c — semantics changed in round 3 (scale-divergence fixes):
-    # their r1/r2 green rows verified the OLD form, so re-verify the new.
-    # embedding_near_dups also changed (portable 4dp quantization) — the
-    # change is only observable at sf0.1, but re-verify it anyway.
     "events_minmax_by",
     "hourly_event_stats",
     "rollup_event_stats",
     "embedding_near_dups",
-    # tier 3 — double-green anchors (r1 AND r2) filling the 50-row window
     "pricing_summary",
     "knn_hydrated",
     "ann_topk_cosine",
@@ -1453,14 +1450,12 @@ DRIVER_PRIORITY: list[str] = [
     "exact_dedup_keeper",
     "revenue_by_nation",
     "ngram_jaccard_pairs",
-    "embedding_near_dups",
     "asof_last_error",
     "value_percentiles",
     "keyword_topk",
     "rate_limit_minutely",
     "topk_customer_revenue",
     "union_dedup_priority",
-    "rollup_event_stats",
     "doc_fingerprint",
     "lang_id_heuristic",
     "minhash_signatures",

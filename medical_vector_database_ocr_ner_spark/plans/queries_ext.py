@@ -665,7 +665,7 @@ def q_above_avg_orders_sql(spark, sf):
     return spark.sql(ORACLE_ABOVE_AVG)
 
 
-# === multimodal (rows-only) =================================================
+# === multimodal =============================================================
 
 def q_multimodal_image_features(spark, sf):
     """Multimodal plumbing end-to-end: deterministic fake image payloads
@@ -673,7 +673,10 @@ def q_multimodal_image_features(spark, sf):
     feature mapInPandas stage, including a corrupt payload that must
     quarantine into the error column rather than fail the task. Decode is
     a deterministic stand-in (real image libs absent here); the Spark-side
-    schema/batching/quarantine is the real, tested surface."""
+    schema/batching/quarantine is the real, tested surface. The driver
+    hashes (dims, n_bytes, failed-flag) — the raw error TEXT depends on
+    which codec library is present, so only its null-ness is part of the
+    cross-engine contract (exact strings are pinned in pytest)."""
     from ..operators.multimodal import fake_image_bytes, image_features
 
     rows = [
@@ -682,22 +685,65 @@ def q_multimodal_image_features(spark, sf):
     media = spark.createDataFrame(
         rows, "media_id string, kind string, payload binary"
     )
-    return image_features(media)
+    return image_features(media).select(
+        "media_id", "width", "height", "channels", "n_bytes",
+        F.col("error").isNotNull().alias("failed"),
+    )
 
 
-# === sketches (rows-only) ===================================================
+# The oracle derives the expected features from the fixture CONSTRUCTION
+# spec (fake_image_bytes: 16-byte SIMG header + min(w*h*c, 4096) pixel
+# bytes), not by replaying the decode code — an independent derivation.
+# aud0 is absent (kind filter); bad0 (8 bytes, no SIMG magic) quarantines.
+ORACLE_MULTIMODAL_IMAGE = """
+SELECT 'img' || CAST(i AS VARCHAR) AS media_id,
+       CAST(32 + i AS INT) AS width,
+       CAST(16 + i AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(16 + LEAST((32 + i) * (16 + i) * 3, 4096) AS BIGINT) AS n_bytes,
+       false AS failed
+FROM range(20) t(i)
+UNION ALL
+SELECT 'bad0', NULL, NULL, NULL, CAST(8 AS BIGINT), true
+"""
+
+
+# === sketches ===============================================================
 
 def q_hll_distinct_tokens(spark, sf):
     """HLL++ sketch vs exact distinct token count per language — the
     at-scale cardinality path (sketches merge map-side; exact distinct
-    shuffles every token). Tolerance vs exact asserted in pytest
-    (tests/test_operators.py); driver check is rows-only."""
+    shuffles every token). Spark's NATIVE approx_count_distinct stays in
+    the plan (that is the operator under test — hll_portable covers the
+    engine-portable sketch); the driver-verifiable output is the exact
+    count plus the sketch's error CONTRACT (|est - exact| ≤ 5% at
+    rsd=0.02), which is deterministic for a fixed input because the HLL++
+    sketch is order- and partitioning-independent. Exact estimate values
+    additionally pinned in pytest (tests/test_operators.py)."""
     docs = _t(spark, sf, "documents")
     toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
-    return toks.groupBy("lang").agg(
-        F.countDistinct("tok").alias("n_exact"),
-        F.approx_count_distinct("tok", 0.02).alias("n_hll"),
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.countDistinct("tok").alias("n_exact"),
+            F.approx_count_distinct("tok", 0.02).alias("n_hll"),
+        )
+        .select(
+            "lang",
+            "n_exact",
+            (
+                F.abs(F.col("n_hll") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("hll_within_tol"),
+        )
     )
+
+
+ORACLE_HLL_DISTINCT_TOKENS = """
+SELECT lang, count(DISTINCT tok) AS n_exact, true AS hll_within_tol
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY lang
+"""
 
 
 # === response-data redaction ================================================
@@ -1114,13 +1160,12 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "cluster_keep_best": QuerySpec(q_cluster_keep_best, ORACLE_CLUSTER_KEEP_BEST),
     "above_avg_orders_sql": QuerySpec(q_above_avg_orders_sql, ORACLE_ABOVE_AVG),
     "hll_distinct_tokens": QuerySpec(
-        q_hll_distinct_tokens, None, "HLL error bound asserted in pytest"
+        q_hll_distinct_tokens, ORACLE_HLL_DISTINCT_TOKENS
     ),
     "hll_portable": QuerySpec(q_hll_portable, ORACLE_HLL_PORTABLE),
     "props_redacted": QuerySpec(q_props_redacted, ORACLE_REDACTED),
     "multimodal_image_features": QuerySpec(
-        q_multimodal_image_features, None,
-        "decode stand-in; Arrow plumbing unit-tested in test_operators",
+        q_multimodal_image_features, ORACLE_MULTIMODAL_IMAGE
     ),
 }
 
@@ -1323,10 +1368,10 @@ SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
        count(*) AS n_pages,
        CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes,
        count(DISTINCT lang) AS n_langs
-FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v3.parquet/*.parquet',
                   filename=true)
 WHERE filename LIKE
-      '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+      '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v3.parquet%'
 GROUP BY 1
 """
 
@@ -1508,7 +1553,9 @@ def q_latest_snapshot_per_url(spark, sf):
     from .queries import _pages_for_sf
 
     pages = _pages_for_sf(spark, sf).select("url", "warc_ts", "lang")
-    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+    # try_cast: non-matching urls (e.g. ".pdf" suffixes) yield '' — must
+    # become NULL (then filtered), not CAST_INVALID_INPUT under ANSI
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).try_cast("bigint")
     recrawl = (
         pages.where(page_no % 3 == 0)
         .select(
@@ -1529,17 +1576,17 @@ def q_latest_snapshot_per_url(spark, sf):
 ORACLE_LATEST_SNAPSHOT = f"""
 WITH pages AS (
   SELECT url, warc_ts, lang
-  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v3.parquet/*.parquet',
                     filename=true)
   WHERE filename LIKE
-        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v3.parquet%'
 ), snaps AS (
   SELECT url, warc_ts, lang FROM pages
   UNION ALL
   SELECT url, warc_ts + INTERVAL 1 HOUR, 'recrawl'
   FROM pages
   -- TRY_CAST: urls without a digit suffix yield '' (→ NULL), mirroring
-  -- Spark's non-ANSI cast-to-null-then-filter behavior
+  -- the Spark side's try_cast-then-filter
   WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 3 = 0
 )
 SELECT url, warc_ts, lang FROM (
@@ -1625,10 +1672,10 @@ def q_page_triage_native(spark, sf):
 ORACLE_PAGE_TRIAGE = f"""
 WITH pages AS (
   SELECT url, decode(html) AS s
-  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v3.parquet/*.parquet',
                     filename=true)
   WHERE filename LIKE
-        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v3.parquet%'
     AND substr(hex(html), 1, 2) = '3C'
 ), feat AS (
   SELECT url,
@@ -1660,7 +1707,9 @@ def q_url_canonical_dupes(spark, sf):
     from .queries import _pages_for_sf
 
     pages = _pages_for_sf(spark, sf).select("url")
-    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+    # try_cast: non-matching urls (e.g. ".pdf" suffixes) yield '' — must
+    # become NULL (then filtered), not CAST_INVALID_INPUT under ANSI
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).try_cast("bigint")
     host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
     path = F.regexp_extract("url", r"^https?://[^/]+(.*)$", 1)
     variants = pages.where(page_no % 5 == 0).select(
@@ -1686,10 +1735,10 @@ def q_url_canonical_dupes(spark, sf):
 ORACLE_URL_CANON = f"""
 WITH pages AS (
   SELECT url
-  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v3.parquet/*.parquet',
                     filename=true)
   WHERE filename LIKE
-        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v3.parquet%'
 ), allu AS (
   SELECT url FROM pages
   UNION ALL
@@ -1929,7 +1978,7 @@ def q_domain_blocklist_filter(spark, sf):
         F.col("url"),
         F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
     )
-    host_no = F.regexp_extract("host", r"host([0-9]+)", 1).cast("bigint")
+    host_no = F.regexp_extract("host", r"host([0-9]+)", 1).try_cast("bigint")
     blocklist = (
         pages.select("host", host_no.alias("host_no"))
         .where(F.col("host_no") % 13 == 0)
@@ -1943,10 +1992,10 @@ def q_domain_blocklist_filter(spark, sf):
 ORACLE_BLOCKLIST = f"""
 WITH pages AS (
   SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host
-  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v3.parquet/*.parquet',
                     filename=true)
   WHERE filename LIKE
-        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v3.parquet%'
 ), block AS (
   SELECT DISTINCT host FROM pages
   WHERE TRY_CAST(regexp_extract(host, 'host([0-9]+)', 1) AS BIGINT) % 13 = 0
@@ -2040,12 +2089,12 @@ EXT_QUERIES.update(WEB_QUERIES_C)
 # === Bloom frontier =========================================================
 
 _PAGES_REL = (
-    "read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',"
+    "read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v3.parquet/*.parquet',"
     " filename=true)"
 )
 _PAGES_WHERE = (
     "filename LIKE '%pages_n' || CAST(" + _N_PAGES_SQL + " AS VARCHAR)"
-    " || '_s42_v2.parquet%'"
+    " || '_s42_v3.parquet%'"
 )
 
 _PR_SCALE = 10**12  # integer-scaled rank mass (exact in both engines)
@@ -2072,7 +2121,7 @@ def q_pagerank_hosts(spark, sf):
 
     pages = _pages_for_sf(spark, sf)
     src = F.regexp_extract("url", r"https?://([^/]+)/", 1)
-    page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).cast("bigint")
+    page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).try_cast("bigint")
     links = pages.select(src.alias("src"), page_i.alias("i"))
 
     def _dst(expr):
@@ -2148,7 +2197,7 @@ _PR_ITER_CTES = ",\n".join(
 ORACLE_PAGERANK = f"""
 WITH links AS (
   SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS src,
-         CAST(regexp_extract(url, '([0-9]+)(\\.pdf)?$', 1) AS BIGINT) AS i
+         TRY_CAST(regexp_extract(url, '([0-9]+)(\\.pdf)?$', 1) AS BIGINT) AS i
   FROM {_PAGES_REL}
   WHERE {_PAGES_WHERE}
 ), raw AS (
@@ -2305,7 +2354,7 @@ def q_bloom_url_seen(spark, sf):
     from .queries import _pages_for_sf
 
     pages = _pages_for_sf(spark, sf)
-    page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).cast("bigint")
+    page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).try_cast("bigint")
     pos = F.array(
         *[
             F.pmod(
@@ -2350,7 +2399,7 @@ _BLOOM_POS_DUCK = ", ".join(
 ORACLE_BLOOM = f"""
 WITH tagged AS (
   SELECT url,
-         CAST(regexp_extract(url, '([0-9]+)(\\.pdf)?$', 1) AS BIGINT) % 2 = 0
+         TRY_CAST(regexp_extract(url, '([0-9]+)(\\.pdf)?$', 1) AS BIGINT) % 2 = 0
              AS is_build,
          [{_BLOOM_POS_DUCK}] AS pos
   FROM {_PAGES_REL}
@@ -2392,10 +2441,10 @@ EXT_QUERIES.update(WEB_QUERIES_D)
 # shared DuckDB source CTE body for the synthetic pages table (same
 # glob + filename-size inference as the earlier page oracles)
 _PAGES_SRC = f"""
-  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v2.parquet/*.parquet',
+  FROM read_parquet('/tmp/spark_graft_pages/pages_n*_s42_v3.parquet/*.parquet',
                     filename=true)
   WHERE filename LIKE
-        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v2.parquet%'
+        '%pages_n' || CAST({_N_PAGES_SQL} AS VARCHAR) || '_s42_v3.parquet%'
 """
 
 
@@ -2634,7 +2683,9 @@ def q_url_churn_stats(spark, sf):
     htmlish = pages.where(F.expr("startswith(html, X'3C')")).select(
         "url", "warc_ts", F.col("html").cast("string").alias("s")
     )
-    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+    # try_cast: non-matching urls (e.g. ".pdf" suffixes) yield '' — must
+    # become NULL (then filtered), not CAST_INVALID_INPUT under ANSI
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).try_cast("bigint")
     re1 = htmlish.where(page_no % 3 == 0).select(
         "url",
         (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
@@ -2928,7 +2979,9 @@ def q_span3_dedup_stats(spark, sf):
     htmlish = pages.where(F.expr("startswith(html, X'3C')")).select(
         "url", F.col("html").cast("string").alias("s")
     )
-    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+    # try_cast: non-matching urls (e.g. ".pdf" suffixes) yield '' — must
+    # become NULL (then filtered), not CAST_INVALID_INPUT under ANSI
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).try_cast("bigint")
     mirrors = htmlish.where(page_no % 5 == 0).select(
         F.concat(F.col("url"), F.lit("?mirror=1")).alias("url"), "s"
     )
@@ -3028,11 +3081,32 @@ FROM spans s LEFT JOIN per_url p USING (url)
 """
 
 
+def _url_rule_sql(u: str) -> str:
+    """DuckDB mirror of functions/columns.url_filter_rule_col for url
+    expression ``u`` — ONE renderer shared by every oracle that gates on
+    the rule (ORACLE_URL_GATE, ORACLE_FRONTIER), so the SQL mirrors cannot
+    drift from each other."""
+    path = f"regexp_extract({u}, '^https?://[^/]+(/.*)?$', 1)"
+    return (
+        f"CASE WHEN NOT regexp_matches({u}, '^https?://') THEN 'bad_scheme' "
+        f"WHEN length({u}) > 80 THEN 'url_too_long' "
+        f"WHEN contains({u}, '?') THEN 'has_query' "
+        f"WHEN regexp_matches({path}, '^/(bin|cgi-bin)/') THEN 'binary_route' "
+        f"WHEN regexp_matches({path}, "
+        f"'\\.(exe|zip|jpg|jpeg|png|gif|css|js)$') THEN 'banned_ext' "
+        f"WHEN len(string_split({path}, '/')) - 1 > 4 THEN 'path_too_deep' "
+        f"ELSE 'pass' END"
+    )
+
+
 def q_outlink_frontier(spark, sf):
     """EXACT crawl-frontier discovery: resolve every same-site `<a href>`
-    to an absolute url and anti-join against the crawled set — the urls a
-    crawler has discovered but never fetched, per host. This is the
-    precise companion to bloom_url_seen: the Bloom filter answers the
+    to an absolute url, gate it with the shared URL-filter rule (the same
+    zeroth-tier admission the STREAMING frontier applies —
+    streaming/frontier.py:outlink_candidates — so batch and stream admit
+    identically by construction), and anti-join against the crawled set —
+    the urls a crawler has discovered but never fetched, per host. This is
+    the precise companion to bloom_url_seen: the Bloom filter answers the
     frontier-membership question approximately with a broadcast bit set;
     this query answers it exactly with a co-partitioned anti-join, which
     is what the frontier *builder* (as opposed to the hot-path probe)
@@ -3065,8 +3139,12 @@ def q_outlink_frontier(spark, sf):
                 "out_url"
             ),
         )
-        .distinct()
     )
+    from ..functions.columns import url_filter_rule_col
+
+    out = out.where(
+        url_filter_rule_col(F.col("out_url")) == "pass"
+    ).distinct()
     crawled = pages.select(F.col("url").alias("out_url"))
     frontier = out.join(crawled, "out_url", "left_anti")
     return frontier.groupBy("host").agg(
@@ -3074,6 +3152,8 @@ def q_outlink_frontier(spark, sf):
         F.min("out_url").alias("first_url"),
     )
 
+
+_URL_RULE_ON_OUT = _url_rule_sql("out_url")
 
 ORACLE_FRONTIER = f"""
 WITH htmlish AS (
@@ -3084,14 +3164,15 @@ WITH htmlish AS (
   SELECT url
   {_PAGES_SRC}
 ), out AS (
-  SELECT DISTINCT
-         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-         'https://' || regexp_extract(url, '^https?://([^/]+)', 1) || href
-             AS out_url
-  FROM (SELECT url, unnest(regexp_extract_all(s, '<a href="([^"]+)"', 1))
-               AS href
-        FROM htmlish)
-  WHERE href LIKE '/%'
+  SELECT DISTINCT host, out_url FROM (
+    SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           'https://' || regexp_extract(url, '^https?://([^/]+)', 1) || href
+               AS out_url
+    FROM (SELECT url, unnest(regexp_extract_all(s, '<a href="([^"]+)"', 1))
+                 AS href
+          FROM htmlish)
+    WHERE href LIKE '/%'
+  ) WHERE {_URL_RULE_ON_OUT} = 'pass'
 ), frontier AS (
   SELECT host, out_url FROM out
   WHERE out_url NOT IN (SELECT url FROM crawled)
@@ -3122,7 +3203,9 @@ def q_crawl_diff(spark, sf):
     pages = _pages_for_sf(spark, sf).select(
         "url", F.md5(F.hex("html")).alias("h")
     )
-    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+    # try_cast: non-matching urls (e.g. ".pdf" suffixes) yield '' — must
+    # become NULL (then filtered), not CAST_INVALID_INPUT under ANSI
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).try_cast("bigint")
     crawl_b = (
         pages.where(page_no % 7 != 0)
         .select(
@@ -3240,24 +3323,12 @@ WITH pages AS (
                  'https://host3.example/a/b/c/d/e/f',
                  'https://host3.example/static/logo.jpg',
                  'https://host3.example/cgi-bin/run'])
-), feat AS (
-  SELECT url,
-         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-         regexp_extract(url, '^https?://[^/]+(/.*)?$', 1) AS path
-  FROM pages
 ), ruled AS (
-  SELECT host,
-         CASE WHEN NOT regexp_matches(url, '^https?://') THEN 'bad_scheme'
-              WHEN length(url) > 80 THEN 'url_too_long'
-              WHEN contains(url, '?') THEN 'has_query'
-              WHEN regexp_matches(path, '^/(bin|cgi-bin)/')
-                   THEN 'binary_route'
-              WHEN regexp_matches(path,
-                   '\\.(exe|zip|jpg|jpeg|png|gif|css|js)$')
-                   THEN 'banned_ext'
-              WHEN len(string_split(path, '/')) - 1 > 4 THEN 'path_too_deep'
-              ELSE 'pass' END AS rule
-  FROM feat
+  -- rule CASE rendered by _url_rule_sql — the single SQL mirror of
+  -- functions/columns.url_filter_rule_col shared with ORACLE_FRONTIER
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         {_url_rule_sql("url")} AS rule
+  FROM pages
 )
 SELECT rule, CAST(count(*) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT host) AS BIGINT) AS n_hosts

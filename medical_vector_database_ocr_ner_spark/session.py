@@ -50,9 +50,12 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mvdb-warehouse"),
         )
-        # ANSI off: binary payloads are untrusted — decode/cast on a hostile
-        # byte string must yield null (quarantine), never kill the job
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI ON — Spark 4's default and the config the production driver
+        # runs. Hostile-byte quarantine must use try_cast / try_* explicitly
+        # at each site rather than relying on a session-wide cast-to-null
+        # (round-3 lesson: a non-ANSI builder session masked CAST_INVALID_INPUT
+        # failures that only surfaced under the driver's ANSI session).
+        .config("spark.sql.ansi.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

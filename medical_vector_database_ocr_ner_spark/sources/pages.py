@@ -9,7 +9,8 @@ SKEWED (a few hosts own most urls) to exercise the salted url-hash
 repartitioning the 10^12-row design requires.
 
 Payload mix per FIXTURES.md: HTML pages with boilerplate nav/header/footer
-wrapping one main-content block (~90%), synthetic multi-page PDFs (~5%),
+wrapping one main-content block (~87.5%), synthetic multi-page PDFs (~5%),
+scanned-page images (~2.5%, the reference's flagship OCR input — v3),
 executable payloads MZ/ELF (~2%, must be rejected), gibberish/OCR-error
 pages (~3%, exercise quality validators).
 """
@@ -24,7 +25,7 @@ from datetime import datetime, timedelta, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..core.ocr import fake_pdf_bytes
+from ..core.ocr import fake_pdf_bytes, fake_png_bytes
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -177,6 +178,10 @@ def _row(i: int, seed: int) -> tuple[str, datetime, bytes, str | None, str]:
             ]
         )
         return url, ts, _html_page(i, rng, [junk]), None, lang
+    if r < 0.125:  # scanned-page image branch (reference's flagship input:
+        # .png/.jpg uploads OCR'd directly, ocr_service.py:193-208)
+        scan = " ".join(_sentences(i * 17 + 5, rng))
+        return f"https://{host}.example/img/{i}.png", ts, fake_png_bytes(scan), None, lang
     html = _html_page(i, rng, _sentences(i, rng))
     pre_text = " ".join(_sentences(i, rng))[:200] if rng.random() < 0.2 else None
     return url, ts, html, pre_text, lang
@@ -223,7 +228,7 @@ def generate_pages_parquet(
 
 def pages_path(n_pages: int, seed: int = 42, base_dir: str = "/tmp/spark_graft_pages") -> str:
     """Cached location for a generated pages table; generates on first use."""
-    path = os.path.join(base_dir, f"pages_n{n_pages}_s{seed}_v2.parquet")
+    path = os.path.join(base_dir, f"pages_n{n_pages}_s{seed}_v3.parquet")
     if not os.path.exists(path):
         generate_pages_parquet(path, n_pages, seed)
     return path

@@ -19,8 +19,7 @@ is bloom_url_seen's broadcast bit set.
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 
 from ..functions.columns import url_filter_rule_col
@@ -100,12 +99,19 @@ def run_frontier_stream(
 
     def emit_batch(batch_df, batch_id: int) -> None:
         fresh = batch_df.select("host", "out_url").dropDuplicates(["out_url"])
-        if os.path.exists(frontier_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(frontier_dir)
-        ):
-            fresh = subtract_seen(
-                fresh, spark.read.parquet(frontier_dir).select("out_url")
-            )
+        # Probe the sink by attempting the read (AnalysisException on a
+        # missing/empty sink) rather than os.path — works for any Hadoop
+        # filesystem (hdfs://, s3a://), not just driver-local paths.
+        # Ordering note: the sink is READ here and APPENDED below in the
+        # same micro-batch; this is safe because spark.read.parquet lists
+        # the sink's files eagerly at read time, so this batch's own
+        # append is never visible to its own dedup scan.
+        try:
+            seen = spark.read.parquet(frontier_dir).select("out_url")
+        except AnalysisException:
+            seen = None
+        if seen is not None:
+            fresh = subtract_seen(fresh, seen)
         if crawled_dir is not None:
             fresh = subtract_seen(
                 fresh,

@@ -55,6 +55,11 @@ def golden_row(url: str, html: bytes, lang: str) -> dict:
         text = "\n".join(p[0] for p in pages)
         confs = [p[1] for p in pages]
         conf = sum(confs) / len(confs) if confs else 0.0
+    elif kind == "image":
+        pages = core.ocr_image(html)
+        text = "\n".join(p[0] for p in pages)
+        confs = [p[1] for p in pages]
+        conf = sum(confs) / len(confs) if confs else 0.0
     else:
         return {
             "url": url, "lang": lang, "kind": kind, "status": "failed",

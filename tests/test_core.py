@@ -261,6 +261,33 @@ class TestOcr:
     def test_non_pdf_rejected(self):
         assert core.ocr_pdf_pages(b"<html>") == []
 
+    def test_image_roundtrip_single_page(self):
+        # X1: the reference's flagship input — a scanned page image OCRs
+        # to (text, positive-mean confidence), exactly one page
+        data = core.fake_png_bytes("scanned page words here")
+        pages = core.ocr_image(data)
+        assert len(pages) == 1
+        text, conf = pages[0]
+        assert text == "scanned page words here"
+        assert conf == core.mean_confidence(
+            [core.word_confidence(w) for w in text.split()]
+        )
+
+    def test_image_without_embedded_text_is_empty(self):
+        # real image bytes (no fixture marker) → empty text, conf 0.0 —
+        # quarantined upstream as 'no content extracted'
+        assert core.ocr_image(b"\xff\xd8\xff real jpeg bytes") == [("", 0.0)]
+
+    def test_non_image_rejected(self):
+        assert core.ocr_image(b"%PDF-1.7") == []
+        assert core.ocr_image(b"<html>") == []
+
+    def test_payload_router(self):
+        pdf = core.fake_pdf_bytes(["p1", "p2"])
+        img = core.fake_png_bytes("scan")
+        assert core.ocr_payload_pages(pdf) == core.ocr_pdf_pages(pdf)
+        assert core.ocr_payload_pages(img) == core.ocr_image(img)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

@@ -69,6 +69,17 @@ class TestByteParity:
         failed = [g for g in goldens.values() if g["status"] == "failed"]
         assert failed, "fixture must contain quarantine rows"
 
+    def test_image_rows_extract(self, goldens, spark_docs):
+        # S2/X1: image payloads are the reference's flagship input
+        # (ocr_service.py:124-146, :193-208) — they must OCR to completed
+        # rows with text, never quarantine as "unsupported payload kind"
+        imgs = [u for u, g in goldens.items() if g["kind"] == "image"]
+        assert imgs, "fixture must contain image payload rows"
+        for url in imgs:
+            assert spark_docs[url]["status"] == "completed", url
+            assert spark_docs[url]["extracted_text"], url
+            assert spark_docs[url]["ocr_confidence"] is not None, url
+
 
 class TestDocTextParity:
     def test_doc_text_byte_identical(self, spark, documents_df, goldens):

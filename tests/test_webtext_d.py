@@ -161,7 +161,7 @@ class TestBloomUrlSeen:
         miss — every build url's k positions are set by construction."""
         from medical_vector_database_ocr_ner_spark.plans.queries import _h60
 
-        page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).cast(
+        page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).try_cast(
             "bigint"
         )
         pos = F.array(

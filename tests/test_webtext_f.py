@@ -73,7 +73,7 @@ class TestCrawlDiff:
             _pages_for_sf,
         )
 
-        page_no = F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+        page_no = F.regexp_extract("url", r"([0-9]+)$", 1).try_cast("bigint")
         nums = [
             r[0]
             for r in _pages_for_sf(spark, sf001_dir)
@@ -114,12 +114,17 @@ class TestUrlFilterGate:
         pages = _pages_for_sf(spark, sf001_dir)
         n_pages = pages.count()
         n_bin = pages.where(F.col("url").contains("/bin/")).count()
-        # fixture urls hit only pass/binary_route; the 6 probes add one
-        # url per remaining rule (and one more binary_route)
-        assert rows["pass"]["n_urls"] == n_pages - n_bin
+        n_png = pages.where(F.col("url").endswith(".png")).count()
+        # fixture urls hit pass/binary_route/banned_ext (v3 image urls end
+        # in .png — a text-crawl gate correctly refuses them at tier 0);
+        # the 6 probes add one url per remaining rule (one more
+        # binary_route, one more banned_ext)
+        assert n_png > 0, "v3 fixture must contain .png image urls"
+        assert rows["pass"]["n_urls"] == n_pages - n_bin - n_png
         assert rows["binary_route"]["n_urls"] == n_bin + 1
+        assert rows["banned_ext"]["n_urls"] == n_png + 1
         for rule in ("bad_scheme", "url_too_long", "has_query",
-                     "banned_ext", "path_too_deep"):
+                     "path_too_deep"):
             assert rows[rule]["n_urls"] == 1, rule
 
 

@@ -90,6 +90,14 @@ def main() -> None:
     from medical_vector_database_ocr_ner_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=16)
+    # The driver runs Spark 4's default ANSI-on session. The gate MUST run
+    # the same config — round 3 shipped three CAST_INVALID_INPUT failures
+    # because a non-ANSI builder session measured "97/97 green".
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    print(f"spark.sql.ansi.enabled = {ansi}")
+    if ansi != "true":
+        print("FAIL gate must run under ANSI mode (driver config)")
+        sys.exit(1)
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
