@@ -1357,7 +1357,8 @@ _load_ext()
 # cover it) and rotates back in a later round.
 DRIVER_PRIORITY: list[str] = [
     # ---- round-4 window ----
-    # tier 1 — never driver-checked in any round (r1-r3)
+    # tier 1 — new in round 4 / never driver-checked in any round (r1-r3)
+    "image_ocr_native",
     "bloom_url_seen",
     "robots_compliance",
     # tier 1b — were err:"no_oracle" rows in r3; round 4 gives them real
@@ -1422,6 +1423,8 @@ DRIVER_PRIORITY: list[str] = [
     "dom_blocks_native",
     "politeness_audit",
     # tier 2e — r3-first-green entries (single-green) filling the window
+    # (ann_batch_topk and pdf_page_explode fall just below the 50-row cut:
+    # single-green in r3 and untouched since, so union-coverage holds)
     "dup_clusters",
     "cluster_keep_best",
     "ann_batch_topk",

@@ -3627,6 +3627,72 @@ WEB_QUERIES_G: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_G)
 
 
+# === round 4: image-payload wave ============================================
+# The fixture's v3 scanned-page images (PNG magic + marker + utf-8 OCR
+# text) go through the UDF OCR branch for byte-parity (golden suite); this
+# NATIVE twin cross-checks the image corpus itself engine-to-engine — the
+# same native-vs-UDF two-tier story as dom_blocks_native vs the HTMLParser
+# path.
+
+def q_image_ocr_native(spark, sf):
+    """Per-host stats of the scanned-image corpus with ZERO Python: image
+    rows selected by magic bytes in the scan filter (`startswith(html,
+    X'89504E47...')` — pushable, html column read only for matching
+    rows at a columnar source), embedded OCR text recovered natively
+    (substring past the 16-byte container header + utf-8 cast), exact
+    integer char/word sums per host. The same decode the OCR UDF branch
+    performs in Python (core/ocr.py:ocr_image), expressed in codegen —
+    proving the image containers are engine-neutral data, not a Python
+    artifact. Scale shape: one scan + one tiny keyed agg; magic-byte
+    filter keeps every non-image row's payload bytes out of the plan."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    # PNG_MAGIC (8 B) + tEXt marker (8 B) — core/ocr.py fixture container
+    imgs = pages.where(
+        F.expr("startswith(html, X'89504E470D0A1A0A')")
+    ).select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.expr("substring(html, 17, 2147483647)").cast("string").alias("t"),
+    )
+    return (
+        imgs.select(
+            "host",
+            F.length("t").alias("n_chars"),
+            F.size(F.split("t", " ")).alias("n_words"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum("n_words").cast("bigint").alias("words_total"),
+        )
+    )
+
+
+ORACLE_IMAGE_OCR_NATIVE = f"""
+WITH imgs AS (
+  -- DuckDB has no BLOB substring: hop through hex (16 bytes = 32 hex
+  -- chars of container header, text starts at hex offset 33)
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         decode(from_hex(substr(hex(html), 33))) AS t
+  {_PAGES_SRC}
+    AND substr(hex(html), 1, 16) = '89504E470D0A1A0A'
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(length(t)) AS BIGINT) AS chars_total,
+       CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS words_total
+FROM imgs GROUP BY host
+"""
+
+
+WEB_QUERIES_H: dict[str, QuerySpec] = {
+    "image_ocr_native": QuerySpec(q_image_ocr_native, ORACLE_IMAGE_OCR_NATIVE),
+}
+EXT_QUERIES.update(WEB_QUERIES_H)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path

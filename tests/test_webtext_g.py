@@ -50,3 +50,43 @@ class TestRobotsCompliance:
         ).executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestImageOcrNative:
+    def test_native_decode_matches_udf_extraction(self, spark, documents_df, pages_df):
+        """The native substring-decode of the image container must equal
+        the OCR UDF branch's extracted_text byte-for-byte per url — the
+        two-tier proof that image payloads are engine-neutral data."""
+        native = {
+            r["url"]: r["t"]
+            for r in pages_df.where(
+                F.expr("startswith(html, X'89504E470D0A1A0A')")
+            )
+            .select(
+                "url",
+                F.expr("substring(html, 17, 2147483647)")
+                .cast("string")
+                .alias("t"),
+            )
+            .collect()
+        }
+        assert native, "v3 fixture must contain image rows"
+        udf_side = {
+            r["url"]: r["extracted_text"]
+            for r in documents_df.where(F.col("kind") == "image").collect()
+        }
+        assert set(native) == set(udf_side)
+        for url, t in native.items():
+            assert udf_side[url] == t, url
+
+    def test_host_stats_reconcile(self, spark, sf001_dir):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_image_ocr_native,
+        )
+
+        rows = q_image_ocr_native(spark, sf001_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["n_images"] >= 1
+            # words are space-separated: chars >= words + (words - 1)
+            assert r["chars_total"] >= 2 * r["words_total"] - r["n_images"]
