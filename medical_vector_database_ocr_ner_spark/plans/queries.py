@@ -1359,6 +1359,8 @@ DRIVER_PRIORITY: list[str] = [
     # ---- round-4 window ----
     # tier 1 — new in round 4 / never driver-checked in any round (r1-r3)
     "image_ocr_native",
+    "cms_heavy_hitters",
+    "intra_doc_repetition",
     "bloom_url_seen",
     "robots_compliance",
     # tier 1b — were err:"no_oracle" rows in r3; round 4 gives them real

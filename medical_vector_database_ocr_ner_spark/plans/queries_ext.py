@@ -3687,8 +3687,176 @@ FROM imgs GROUP BY host
 """
 
 
+# --- portable count-min sketch: heavy-hitter tokens -------------------------
+# The third portable sketch next to the HLL (cardinality) and the Bloom
+# filter (membership): frequency. Same md5-based h60 hash family, so any
+# engine replays the exact bits.
+
+_CMS_W = 1024  # sketch width (counters per row)
+_CMS_D = 3     # independent hash rows
+
+
+def q_cms_heavy_hitters(spark, sf):
+    """Heavy-hitter token frequencies through a PORTABLE count-min sketch
+    (Cormode-Muthukrishnan): d=3 hash rows × w=1024 counters from the
+    md5-based h60 family. Sketch build is one explode + one groupBy whose
+    output is ≤ d·w rows at ANY corpus size — counters merge map-side
+    (sum), which is the whole point at 10^12 docs: the frequency table
+    that normally needs a full token shuffle becomes a 3072-row
+    broadcastable object. Verification side: the true top-20 tokens
+    (deterministic (count DESC, tok) order) probed against the sketch —
+    CMS overestimates but NEVER underestimates, so `never_under` must be
+    true on every row, and the estimates themselves are integer-exact
+    across engines."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def pos(tok_col, j: int):
+        return F.pmod(_h60(F.concat(tok_col, F.lit(f"#cm{j}"))), F.lit(_CMS_W))
+
+    long = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), pos(F.col("tok"), j).alias("p"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jp")
+    ).select("jp.j", "jp.p")
+    sketch = long.groupBy("j", "p").agg(F.count("*").alias("c"))
+
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(20)
+    )
+    probes = exact.select(
+        "tok",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), pos(F.col("tok"), j).alias("p"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jp"),
+    ).select("tok", "n_exact", "jp.j", "jp.p")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "p"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") >= F.col("n_exact")).alias("never_under"),
+    )
+
+
+def _cms_pos_sql(tok_expr: str, j: int) -> str:
+    return H60_SQL.format(x=f"{tok_expr} || '#cm{j}'") + f" % {_CMS_W}"
+
+
+ORACLE_CMS = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), long AS (
+  {" UNION ALL ".join(
+      f"SELECT {j} AS j, {_cms_pos_sql('tok', j)} AS p FROM toks"
+      for j in range(_CMS_D)
+  )}
+), sketch AS (
+  SELECT j, p, count(*) AS c FROM long GROUP BY j, p
+), exact AS (
+  SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok
+  ORDER BY n_exact DESC, tok ASC LIMIT 20
+), probes AS (
+  {" UNION ALL ".join(
+      f"SELECT tok, n_exact, {j} AS j, {_cms_pos_sql('tok', j)} AS p FROM exact"
+      for j in range(_CMS_D)
+  )}
+)
+SELECT pr.tok,
+       CAST(pr.n_exact AS BIGINT) AS n_exact,
+       CAST(min(s.c) AS BIGINT) AS cms_est,
+       min(s.c) >= pr.n_exact AS never_under
+FROM probes pr JOIN sketch s ON s.j = pr.j AND s.p = pr.p
+GROUP BY pr.tok, pr.n_exact
+"""
+
+
+# --- intra-document repetition (Gopher duplicate-n-gram fraction) -----------
+
+def q_intra_doc_repetition(spark, sf):
+    """Gopher-style duplicate-3-gram fraction WITHIN each document (Rae et
+    al. 2021 §A1.1 'duplicate n-grams' family — the intra-doc complement
+    of the corpus-wide chunk/sentence/span dedup queries): a doc whose
+    3-gram stream repeats itself >30% is template/spam-like. The entire
+    per-document computation — shingling via transform over the token
+    array, distinct count via array_distinct — happens INSIDE one codegen
+    span over the scan; the only Exchange is the tiny per-language
+    summary. Flag compare in exact integer cross-multiplication
+    (10·dups > 3·total), no float ratio to diverge. Docs with <3 tokens
+    carry no 3-gram signal and are excluded identically in both
+    engines."""
+    docs = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    withsh = docs.where(F.size(toks) >= 3).select(
+        "lang",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+            " element_at(split(text, ' '), i + 1),"
+            " element_at(split(text, ' '), i + 2)))"
+        ).alias("sh"),
+    )
+    per_doc = withsh.select(
+        "lang",
+        F.size("sh").alias("n_sh"),
+        (F.size("sh") - F.size(F.array_distinct("sh"))).alias("n_dup"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            (F.lit(10) * F.col("n_dup") > F.lit(3) * F.col("n_sh")).cast("int")
+        ).cast("bigint").alias("n_flagged"),
+        F.sum("n_sh").cast("bigint").alias("shingles_total"),
+        F.sum("n_dup").cast("bigint").alias("dups_total"),
+    )
+
+
+ORACLE_INTRA_REP = """
+WITH per_doc AS (
+  SELECT lang, len(sh) AS n_sh, len(sh) - len(list_distinct(sh)) AS n_dup
+  FROM (
+    SELECT lang,
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               AS sh
+    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
+  )
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN 10 * n_dup > 3 * n_sh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       CAST(sum(n_sh) AS BIGINT) AS shingles_total,
+       CAST(sum(n_dup) AS BIGINT) AS dups_total
+FROM per_doc GROUP BY lang
+"""
+
+
 WEB_QUERIES_H: dict[str, QuerySpec] = {
     "image_ocr_native": QuerySpec(q_image_ocr_native, ORACLE_IMAGE_OCR_NATIVE),
+    "cms_heavy_hitters": QuerySpec(q_cms_heavy_hitters, ORACLE_CMS),
+    "intra_doc_repetition": QuerySpec(
+        q_intra_doc_repetition, ORACLE_INTRA_REP
+    ),
 }
 EXT_QUERIES.update(WEB_QUERIES_H)
 

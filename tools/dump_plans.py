@@ -157,6 +157,19 @@ SELECTED = [
      "— both 10^12-row crawls shuffle exactly once on the join key; "
      "status classification is a codegen CASE in the join project; the "
      "(host, status) rollup is the only other Exchange."),
+    ("intra_doc_repetition",
+     "Entire per-doc shingle+distinct computation in ONE codegen span over "
+     "the scan (transform/array_distinct — no explode, no join); the only "
+     "Exchange is the tiny per-language summary agg."),
+    ("cms_heavy_hitters",
+     "Sketch build is a map-side-combinable groupBy whose output is ≤ d×w "
+     "rows at any corpus size, then BroadcastExchange of the sketch onto "
+     "the 20-row probe side; the exact top-20 (verification harness) is "
+     "the only full token shuffle."),
+    ("image_ocr_native",
+     "Magic-byte startswith filter at the scan, substring decode + word "
+     "stats in codegen, one tiny per-host agg — the image corpus never "
+     "reaches Python."),
     ("robots_compliance",
      "Rules-driven gate: the per-host Disallow table reaches the crawl "
      "via BroadcastHashJoin; the prefix check is a native exists over "
