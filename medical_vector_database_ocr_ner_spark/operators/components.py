@@ -15,8 +15,9 @@ with localCheckpoint so the plan does not grow with iterations. This is
 the same large-graph strategy as GraphFrames'/Hash-to-Min CC, expressed
 in pure DataFrame ops.
 
-Driver-side work is one scalar ``count()`` per round (convergence probe),
-never a collect of the data.
+Driver-side work is one short-circuiting ``isEmpty()`` per round
+(convergence probe — take(1) on the changed set), never a collect of the
+data.
 """
 
 from __future__ import annotations
@@ -90,9 +91,12 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = updated.where("_changed").count()
+        # convergence probe: take(1) short-circuits on the first changed
+        # row (the common case — a full count() scans every partition of
+        # every round just to compare with 0)
+        converged = updated.where("_changed").isEmpty()
         labels = updated.drop("_changed")
-        if n_changed == 0:
+        if converged:
             break
     return labels
 

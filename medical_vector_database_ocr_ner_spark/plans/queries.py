@@ -1377,13 +1377,17 @@ DRIVER_PRIORITY: list[str] = [
     # verified the old form: image-payload extraction branch
     # (pages_extraction golden), vectorized embed UDF (semantic_search),
     # try_cast hardening (domain_blocklist_filter, pagerank_hosts,
-    # url_churn_stats, span3_dedup_stats)
+    # url_churn_stats, span3_dedup_stats), CC convergence probe
+    # (dup_clusters, cluster_keep_best), frontier admission gate
+    # (outlink_frontier — also in tier 2d order below)
     "pages_extraction",
     "semantic_search",
     "domain_blocklist_filter",
     "pagerank_hosts",
     "url_churn_stats",
     "span3_dedup_stats",
+    "dup_clusters",
+    "cluster_keep_best",
     # tier 2b — implementation changed in round 3 AFTER their green row
     # (per round-3 closing audit): re-verify the current form
     "chunk_dedup_docs",
@@ -1424,11 +1428,9 @@ DRIVER_PRIORITY: list[str] = [
     "url_filter_gate",
     "dom_blocks_native",
     "politeness_audit",
-    # tier 2e — r3-first-green entries (single-green) filling the window
-    # (ann_batch_topk and pdf_page_explode fall just below the 50-row cut:
-    # single-green in r3 and untouched since, so union-coverage holds)
-    "dup_clusters",
-    "cluster_keep_best",
+    # tier 2e — r3-first-green entries (single-green, untouched) just
+    # below / at the 50-row cut; union-of-rounds coverage holds for any
+    # that fall outside
     "ann_batch_topk",
     "pdf_page_explode",
     # ---- below the 50-row cut: multi-green anchors + everything else ----
