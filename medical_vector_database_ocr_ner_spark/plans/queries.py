@@ -1358,6 +1358,11 @@ _load_ext()
 DRIVER_PRIORITY: list[str] = [
     # ---- round-4 window ----
     # tier 1 — new in round 4 / never driver-checked in any round (r1-r3)
+    "tfidf_distinctive_terms",
+    "unigram_lm_doc_score",
+    "interval_overlap_join",
+    "weighted_sample",
+    "hits_hosts",
     "image_ocr_native",
     "cms_heavy_hitters",
     "intra_doc_repetition",

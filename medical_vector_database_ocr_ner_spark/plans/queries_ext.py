@@ -3861,6 +3861,436 @@ WEB_QUERIES_H: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_H)
 
 
+# =============================================================================
+# Webtext wave I (round 4): corpus statistics and joins the curation
+# pipeline still lacked — TF-IDF distinctive terms, a unigram-LM document
+# quality score (the CCNet perplexity filter's integer-exact 1-gram
+# stand-in), a bucketed interval-overlap range join, deterministic
+# weighted sampling, and integer HITS hub/authority over the host link
+# graph.
+# =============================================================================
+
+
+def q_tfidf_distinctive_terms(spark, sf):
+    """Top-5 distinctive terms per language by an integer-exact TF-IDF
+    surrogate: score = tf_lang * n_docs div df (cross-multiplied instead
+    of tf·log(N/df) so no float log ever enters the hash — the same
+    integer-division discipline as PageRank). Two corpus passes over the
+    exploded token stream, both map-side combinable: TF keyed on
+    (lang, tok) and DF keyed on tok; everything downstream of those aggs
+    is vocabulary-sized, NOT corpus-sized, so the final per-language
+    window ranks a relation ~6 orders of magnitude smaller than the
+    input at 10^12 docs. n_docs is a one-row broadcast scalar."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("lang", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang", "tok", "tf", "df",
+            F.expr("tf * n_docs div df").alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "lang",
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT lang, tok, count(*) AS tf FROM toks GROUP BY lang, tok
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), scored AS (
+  SELECT tf.lang, tf.tok, tf.tf, dfreq.df,
+         tf.tf * (SELECT count(*) FROM documents) // dfreq.df AS score
+  FROM tf JOIN dfreq USING (tok)
+)
+SELECT lang, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok)
+      AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+def q_unigram_lm_doc_score(spark, sf):
+    """Unigram language-model document scoring — the integer-exact 1-gram
+    stand-in for CCNet's KenLM perplexity filter (Wenzek et al. 2019):
+    each token costs floor(log2(total)) - floor(log2(freq)) bits
+    (length(bin(x)) - 1 cancels in the difference), a doc's score is the
+    mean cost ×10 under integer division, and docs averaging ≥6.0
+    bits/token are flagged rare-token-heavy (probable gibberish/OCR
+    noise). log2 via binary-string length keeps the score hash-exact
+    across engines — no float log. Plan shape: one token-keyed agg builds
+    the frequency table (vocabulary-sized → AQE broadcasts the cost join
+    at any corpus size), one doc-keyed agg sums costs; the scalar total
+    is a one-row broadcast."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    cost = (
+        freq.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            (F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("n"))))
+            .alias("bits"),
+        )
+    )
+    per_doc = (
+        toks.join(cost, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_toks"), F.sum("bits").alias("lm_bits"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        F.col("lm_bits").cast("bigint").alias("lm_bits"),
+        F.expr("lm_bits * 10 div n_toks").cast("bigint").alias(
+            "bits_x10_per_tok"
+        ),
+        (F.expr("lm_bits * 10 div n_toks") >= 60).alias("rare_heavy"),
+    )
+
+
+ORACLE_UNIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), cost AS (
+  SELECT tok,
+         length(bin(CAST((SELECT sum(n) FROM freq) AS BIGINT)))
+           - length(bin(CAST(n AS BIGINT))) AS bits
+  FROM freq
+), per_doc AS (
+  SELECT doc_id, lang, count(*) AS n_toks, sum(bits) AS lm_bits
+  FROM toks JOIN cost USING (tok) GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(lm_bits AS BIGINT) AS lm_bits,
+       CAST(lm_bits * 10 // n_toks AS BIGINT) AS bits_x10_per_tok,
+       lm_bits * 10 // n_toks >= 60 AS rare_heavy
+FROM per_doc
+"""
+
+
+_IVL_US = 600_000_000  # 10-minute overlap window, microseconds
+
+
+def q_interval_overlap_join(spark, sf):
+    """Interval-overlap RANGE JOIN, the bucketed way: for every error
+    event, count all events by the same user inside [ts, ts+10min), then
+    roll up per error-hour. The naive inequality join (ts BETWEEN …)
+    plans as BroadcastNestedLoopJoin — quadratic death at any real scale —
+    so the window is bucketed to its own width: each error explodes to
+    exactly 2 candidate buckets (a 10-min window can span at most two
+    10-min buckets), each event carries exactly 1 bucket, the join is a
+    plain equi-join on (user_id, bucket) and the exact half-open range
+    predicate filters residue. 2× amplification on the small (error)
+    side only; no event is ever matched twice because it lives in one
+    bucket. Arithmetic in unix microseconds end-to-end so both engines
+    bucket identically (the parquet column is TIMESTAMP_NTZ, so epoch
+    micros come from timestampdiff against the NTZ epoch — tz-free in
+    both engines, unlike unix_micros which needs a session-tz cast)."""
+    _us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ev = _t(spark, sf, "events")
+    base = ev.select(
+        "user_id",
+        F.expr(_us).alias("us"),
+        F.expr(f"{_us} div {_IVL_US}").alias("b"),
+    )
+    errs = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.expr(_us).alias("err_us"),
+        F.date_trunc("hour", F.col("ts")).alias("err_hour"),
+    )
+    cand = errs.select(
+        "err_id",
+        "user_id",
+        "err_us",
+        "err_hour",
+        F.explode(
+            F.array(
+                F.expr(f"err_us div {_IVL_US}"),
+                F.expr(f"err_us div {_IVL_US} + 1"),
+            )
+        ).alias("b"),
+    )
+    joined = cand.join(base, ["user_id", "b"]).where(
+        (F.col("us") >= F.col("err_us"))
+        & (F.col("us") < F.col("err_us") + F.lit(_IVL_US))
+    )
+    per_err = joined.groupBy("err_id", "err_hour").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return per_err.groupBy("err_hour").agg(
+        F.count("*").cast("bigint").alias("n_errors"),
+        F.sum("n_overlap").cast("bigint").alias("overlaps_total"),
+        F.max("n_overlap").cast("bigint").alias("max_overlap"),
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = f"""
+WITH e AS (
+  SELECT event_id AS err_id, user_id, epoch_us(ts) AS err_us,
+         date_trunc('hour', ts) AS err_hour
+  FROM events WHERE event_type = 'error'
+), x AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), per_err AS (
+  SELECT e.err_id, e.err_hour, count(*) AS n_overlap
+  FROM e JOIN x ON x.user_id = e.user_id
+     AND x.us >= e.err_us AND x.us < e.err_us + {_IVL_US}
+  GROUP BY e.err_id, e.err_hour
+)
+SELECT err_hour, CAST(count(*) AS BIGINT) AS n_errors,
+       CAST(sum(n_overlap) AS BIGINT) AS overlaps_total,
+       CAST(max(n_overlap) AS BIGINT) AS max_overlap
+FROM per_err GROUP BY err_hour
+"""
+
+
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement, 20 docs per
+    language: priority key = h60('ws#'||doc_id) div weight — the
+    integer-division surrogate of exponential-clock A-ES sampling
+    (Efraimidis-Spirakis: key = u^(1/w); dividing a fixed-point uniform
+    hash by w preserves the 'heavier docs get systematically smaller
+    keys' inclusion bias) with the hash standing in for the RNG so every
+    engine and every rerun draws the same sample. Anti-skew shape: a
+    per-language window is 5 hot keys at 10^12 rows, so rank in two
+    stages — local top-20 per (lang, salt16) shard first (each reducer
+    sees ~1/16th of a language), global top-20 over the ≤16·20
+    survivors. Stage 1 can't evict a global winner: a doc outside its
+    shard's top-20 is beaten by 20 same-language docs and can't be in
+    the language's top-20."""
+    docs = _t(spark, sf, "documents")
+    keyed = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.greatest(F.col("n_chars"), F.lit(1)).alias("w"),
+        )
+        .withColumn(
+            "h", _h60(F.concat(F.lit("ws#"), F.col("doc_id").cast("string")))
+        )
+        .withColumn("pk", F.expr("h div w"))
+    )
+    local_w = Window.partitionBy("lang", "salt").orderBy("pk", "doc_id")
+    survivors = (
+        keyed.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(16)))
+        .withColumn("rn_local", F.row_number().over(local_w))
+        .where(F.col("rn_local") <= 20)
+    )
+    final_w = Window.partitionBy("lang").orderBy("pk", "doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(final_w))
+        .where(F.col("rn") <= 20)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("w").cast("bigint").alias("w"),
+            F.col("pk").cast("bigint").alias("pk"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+_WS_H60 = H60_SQL.format(x="'ws#' || CAST(doc_id AS VARCHAR)")
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+         {_WS_H60} // greatest(n_chars, 1) AS pk
+  FROM documents
+)
+SELECT lang, doc_id, CAST(w AS BIGINT) AS w, CAST(pk AS BIGINT) AS pk,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pk, doc_id) AS rn
+  FROM keyed
+)
+WHERE rn <= 20
+"""
+
+
+_HITS_SCALE = 10**9
+_HITS_ITERS = 2
+
+
+def q_hits_hosts(spark, sf):
+    """HITS hub/authority (Kleinberg 1999) over the same deterministic
+    host link graph as PageRank — the complementary authority signal for
+    crawl prioritization (PageRank rewards being linked; HITS separates
+    good *pointers* from good *targets*). All-integer like the PageRank
+    query: hubs start at _HITS_SCALE, each half-iteration is one
+    host-graph join + agg, and instead of float L2 normalization each
+    vector is rescaled by integer division with greatest(total div
+    SCALE, 1) — divide-only, so no overflow multiply and hash-exact in
+    both engines (at true-web edge weights you'd widen to DECIMAL(38) or
+    rescale edges first; the shape is unchanged). Page-scale data is
+    touched exactly once (edge aggregation, localCheckpointed like the
+    CC operator so the lineage — and the physical plan — stays
+    iteration-count-independent); every iteration shuffles only the
+    O(hosts) graph."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    src = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).try_cast(
+        "bigint"
+    )
+    links = pages.select(src.alias("src"), page_i.alias("i"))
+
+    def _dst(expr):
+        return F.concat(F.lit("host"), expr.cast("string"), F.lit(".example"))
+
+    edges = (
+        links.select("src", _dst((F.col("i") * 7 + 1) % 50).alias("dst"))
+        .unionByName(links.select("src", _dst(F.col("i") % 10).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _rescale(df_, raw, out):
+        tot = df_.agg(F.sum(raw).alias("tot"))
+        return (
+            df_.crossJoin(F.broadcast(tot))
+            .select(
+                "host",
+                F.expr(
+                    f"{raw} div greatest(tot div {_HITS_SCALE}, 1L)"
+                ).alias(out),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hub = nodes.select("host", F.lit(_HITS_SCALE).alias("h"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        auth_raw = (
+            edges.join(hub.withColumnRenamed("host", "src"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.expr("w * h")).alias("a_raw"))
+        )
+        auth = _rescale(auth_raw, "a_raw", "a")
+        hub_raw = (
+            edges.join(auth.withColumnRenamed("host", "dst"), "dst")
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum(F.expr("w * a")).alias("h_raw"))
+        )
+        hub = _rescale(hub_raw, "h_raw", "h")
+    out = (
+        nodes.join(auth, "host", "left")
+        .join(hub, "host", "left")
+        .select(
+            "host",
+            F.expr("coalesce(a, 0L)").alias("authority"),
+            F.expr("coalesce(h, 0L)").alias("hubness"),
+        )
+    )
+    return out.orderBy(F.desc("authority"), "host").limit(10)
+
+
+def _hits_rescale_cte(raw_cte: str, out_cte: str, col: str) -> str:
+    return f"""{out_cte} AS (
+  SELECT host,
+         raw // greatest((SELECT sum(raw) FROM {raw_cte}) // {_HITS_SCALE},
+                         1) AS {col}
+  FROM {raw_cte}
+)"""
+
+
+ORACLE_HITS = f"""
+WITH links AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS src,
+         TRY_CAST(regexp_extract(url, '([0-9]+)(\\.pdf)?$', 1) AS BIGINT) AS i
+  FROM {_PAGES_REL}
+  WHERE {_PAGES_WHERE}
+), raw AS (
+  SELECT src, 'host' || CAST((i * 7 + 1) % 50 AS VARCHAR) || '.example' AS dst
+  FROM links
+  UNION ALL
+  SELECT src, 'host' || CAST(i % 10 AS VARCHAR) || '.example' AS dst
+  FROM links
+), edges AS (
+  SELECT src, dst, count(*) AS w FROM raw WHERE src <> dst GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), h0 AS (
+  SELECT host, {_HITS_SCALE} AS h FROM nodes
+), a1_raw AS (
+  SELECT e.dst AS host, sum(e.w * h0.h) AS raw
+  FROM edges e JOIN h0 ON h0.host = e.src GROUP BY 1
+), {_hits_rescale_cte("a1_raw", "a1", "a")}, h1_raw AS (
+  SELECT e.src AS host, sum(e.w * a1.a) AS raw
+  FROM edges e JOIN a1 ON a1.host = e.dst GROUP BY 1
+), {_hits_rescale_cte("h1_raw", "h1", "h")}, a2_raw AS (
+  SELECT e.dst AS host, sum(e.w * h1.h) AS raw
+  FROM edges e JOIN h1 ON h1.host = e.src GROUP BY 1
+), {_hits_rescale_cte("a2_raw", "a2", "a")}, h2_raw AS (
+  SELECT e.src AS host, sum(e.w * a2.a) AS raw
+  FROM edges e JOIN a2 ON a2.host = e.dst GROUP BY 1
+), {_hits_rescale_cte("h2_raw", "h2", "h")}
+SELECT n.host, CAST(COALESCE(a2.a, 0) AS BIGINT) AS authority,
+       CAST(COALESCE(h2.h, 0) AS BIGINT) AS hubness
+FROM nodes n
+LEFT JOIN a2 ON a2.host = n.host
+LEFT JOIN h2 ON h2.host = n.host
+ORDER BY authority DESC, n.host LIMIT 10
+"""
+
+
+WEB_QUERIES_I: dict[str, QuerySpec] = {
+    "tfidf_distinctive_terms": QuerySpec(
+        q_tfidf_distinctive_terms, ORACLE_TFIDF
+    ),
+    "unigram_lm_doc_score": QuerySpec(
+        q_unigram_lm_doc_score, ORACLE_UNIGRAM_LM
+    ),
+    "interval_overlap_join": QuerySpec(
+        q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP
+    ),
+    "weighted_sample": QuerySpec(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
+    "hits_hosts": QuerySpec(q_hits_hosts, ORACLE_HITS),
+}
+EXT_QUERIES.update(WEB_QUERIES_I)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path

@@ -175,6 +175,29 @@ SELECTED = [
      "via BroadcastHashJoin; the prefix check is a native exists over "
      "the rule array inside the join project — the crawl side never "
      "shuffles for the audit, only the per-host rollup exchanges."),
+    ("interval_overlap_join",
+     "Range join WITHOUT BroadcastNestedLoopJoin: both sides bucketed to "
+     "the window width, equi-join on (user_id, bucket) — the error side "
+     "explodes 2×, the event side never duplicates, the exact range "
+     "predicate is a post-join Filter."),
+    ("tfidf_distinctive_terms",
+     "Two map-side-combinable HashAggregates over the exploded tokens "
+     "(TF and DF partial-agg before their Exchanges); everything after "
+     "is vocabulary-sized — the per-language window ranks the agg "
+     "output, never the corpus."),
+    ("unigram_lm_doc_score",
+     "One token-keyed agg builds the vocabulary-sized frequency/cost "
+     "table; its join back onto the token stream broadcasts at fixture "
+     "scale (AQE decides — at web scale it degrades to a shuffled hash "
+     "join co-partitioned on tok); one doc-keyed agg sums costs."),
+    ("weighted_sample",
+     "Two-stage rank: Window over (lang, salt16) cuts each language "
+     "into 16 shards before the per-language Window sees ≤16×20 "
+     "survivors — no 5-hot-key sort of the corpus."),
+    ("hits_hosts",
+     "Page-scale data touched exactly once (edge aggregation, persisted); "
+     "every HITS half-iteration joins and aggregates only the O(hosts) "
+     "graph; rescale totals are one-row broadcast crossJoins."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
