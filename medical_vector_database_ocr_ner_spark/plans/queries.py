@@ -1358,6 +1358,12 @@ _load_ext()
 DRIVER_PRIORITY: list[str] = [
     # ---- round-4 window ----
     # tier 1 — new in round 4 / never driver-checked in any round (r1-r3)
+    "simhash_band_pairs",
+    "length_quantile_sketch",
+    "dsir_importance_weights",
+    "rendezvous_shard_assign",
+    "pmi_bigrams",
+    "crawl_budget_allocation",
     "tfidf_distinctive_terms",
     "unigram_lm_doc_score",
     "interval_overlap_join",
@@ -1413,7 +1419,12 @@ DRIVER_PRIORITY: list[str] = [
     "doc_stats_panel",
     "lang_source_pivot",
     "event_funnel",
-    # tier 2d — wave E/F entries green only in r3 — second confirmation
+    # tier 2d — wave E/F entries green only in r3 — second confirmation.
+    # Wave J's six tier-1 entries moved the 50-row cut up: it now falls
+    # after pii_scrub_docs, displacing boilerplate_line_strip ..
+    # politeness_audit and tier 2e (all r3-green singles — union-of-rounds
+    # coverage holds; hash verification of never-checked queries outranks
+    # second confirmations).
     "gopher_quality_flags",
     "host_stats_salted",
     "rare_token_fraction",

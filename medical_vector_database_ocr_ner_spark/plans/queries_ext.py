@@ -4291,6 +4291,541 @@ WEB_QUERIES_I: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_I)
 
 
+# === webtext wave J (round 4, continued): LSH banding on simhash, a
+# portable quantile sketch, DSIR importance weights, rendezvous-hash
+# frontier sharding, PMI collocations, largest-remainder crawl budgets ===
+
+
+_SBP_BANDS = 4   # 16-bit signature -> 4 bands x 4 bits
+_SBP_MAXDOC = 300  # oracle-cost cap, same idiom as ngram_jaccard_pairs
+_SBP_HAM = 3     # report pairs within this Hamming radius
+
+
+def q_simhash_band_pairs(spark, sf):
+    """LSH banding over the SimHash signature (Charikar 2002; the simhash
+    twin of minhash_dup_counts' banded LSH): split each doc's 16-bit
+    signature into 4 bands of 4 bits, docs sharing ANY band value become
+    candidates, and only candidates pay the exact Hamming check
+    (bit_count(xor) <= 3). Candidates meet exclusively inside
+    (band, value) buckets — never all-pairs — so the quadratic term is
+    bounded by the bucket size, which at production scale is tuned by
+    widening the signature/bands (64-bit sigs, 8+-bit bands: expected
+    bucket occupancy stays O(1) per the banding s-curve); the 16-bit/
+    4-bit shape here keeps the oracle exact while exercising the same
+    plan: signature agg -> band explode (x4, bounded) -> bucket
+    self-join -> distinct pairs -> native popcount filter. The doc_id
+    cap only bounds the DuckDB mirror's quadratic CTE, like
+    ngram_jaccard_pairs (queries.py)."""
+    from .queries import q_simhash16
+
+    sig = q_simhash16(spark, sf).where(F.col("doc_id") < _SBP_MAXDOC)
+    bands = spark.range(_SBP_BANDS).select(
+        F.col("id").cast("int").alias("band")
+    )
+    banded = sig.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr("(simhash div shiftleft(1L, band * 4)) % 16").alias("bval"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sa ^ sb)").cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= _SBP_HAM)
+    )
+
+
+ORACLE_SIMHASH_BANDS = f"""
+WITH tc AS (
+  SELECT doc_id, tok, count(*) AS c, {H60_SQL.format(x="tok")} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < {_SBP_MAXDOC})
+  GROUP BY doc_id, tok
+), bits AS (
+  SELECT CAST(range AS INT) AS bit, CAST(power(2, range) AS BIGINT) AS p
+  FROM range(16)
+), per_bit AS (
+  SELECT doc_id, bit, p, sum(c * (((h // p) % 2) * 2 - 1)) AS s
+  FROM tc CROSS JOIN bits GROUP BY doc_id, bit, p
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash // (CAST(1 AS BIGINT) << (band * 4))) % 16 AS bval
+  FROM sig CROSS JOIN (SELECT CAST(range AS INT) AS band
+                       FROM range({_SBP_BANDS}))
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {_SBP_HAM}
+"""
+
+
+def q_length_quantile_sketch(spark, sf):
+    """Portable log2-histogram quantile sketch — the fourth portable
+    sketch next to HLL (cardinality), Bloom (membership), and CMS
+    (frequency): per language, p50/p90/p99 of document length estimated
+    from a base-2 bucket histogram. bucket = bit_length(n_chars) =
+    length(bin(x)) (no float log — the unigram-LM discipline), so the
+    sketch is <= 64 rows per language at ANY corpus size, merges
+    map-side (counts add), and the quantile read-out is a cumulative
+    scan of a histogram-sized relation: p_q = the smallest bucket whose
+    cumulative count covers q% of docs, reported as the bucket's lower
+    bound 2^(bucket-1) (a <=2x overestimate bound, the classic
+    log-histogram guarantee). The exact-percentile twin is
+    value_percentiles (percentile_approx); this one is hash-exact across
+    engines AND mergeable across shards/days like the other portable
+    sketches."""
+    docs = _t(spark, sf, "documents")
+    hist = (
+        docs.select(
+            "lang",
+            F.length(
+                F.bin(F.greatest(F.col("n_chars"), F.lit(1)))
+            ).alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w_cum = Window.partitionBy("lang").orderBy("bucket")
+    w_tot = Window.partitionBy("lang")
+    cum = hist.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_tot)
+    )
+    qcols = [
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * q, F.col("bucket"))
+        ).alias(f"p{q}_bucket")
+        for q in (50, 90, 99)
+    ]
+    agg = cum.groupBy("lang").agg(F.max("total").alias("n_docs"), *qcols)
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        *[
+            F.expr(f"shiftleft(1L, p{q}_bucket - 1)")
+            .cast("bigint")
+            .alias(f"p{q}_lo")
+            for q in (50, 90, 99)
+        ],
+    )
+
+
+ORACLE_LEN_QUANTILES = """
+WITH hist AS (
+  SELECT lang, length(bin(CAST(greatest(n_chars, 1) AS BIGINT))) AS bucket,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bucket, n,
+         sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY lang) AS total
+  FROM hist
+), agg AS (
+  SELECT lang, max(total) AS n_docs,
+         min(CASE WHEN cum * 100 >= total * 50 THEN bucket END) AS b50,
+         min(CASE WHEN cum * 100 >= total * 90 THEN bucket END) AS b90,
+         min(CASE WHEN cum * 100 >= total * 99 THEN bucket END) AS b99
+  FROM cum GROUP BY lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(CAST(1 AS BIGINT) << (b50 - 1) AS BIGINT) AS p50_lo,
+       CAST(CAST(1 AS BIGINT) << (b90 - 1) AS BIGINT) AS p90_lo,
+       CAST(CAST(1 AS BIGINT) << (b99 - 1) AS BIGINT) AS p99_lo
+FROM agg
+"""
+
+
+_DSIR_B = 8192       # hashed feature buckets (fixed -> broadcastable)
+_DSIR_S = 1 << 20    # integer weight scale
+
+
+def _bigram_col(toks: str):
+    """Word-bigram array from a token array column (NULL when < 2 tokens
+    so explode emits nothing — sequence(0, -1) would DESCEND in Spark)."""
+    return F.expr(
+        f"CASE WHEN size({toks}) >= 2 THEN"
+        f" transform(sequence(0, size({toks}) - 2),"
+        f" i -> concat({toks}[i], ' ', {toks}[i + 1]))"
+        f" ELSE NULL END"
+    )
+
+
+def q_dsir_importance_weights(spark, sf):
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): hashed word-bigram
+    features (8192 buckets), per-bucket importance weight
+    w_b = (target_count+1) * 2^20 div (source_count+1) — the integer
+    Laplace-smoothed target/source probability ratio with English docs
+    as the target domain — and each non-English doc scored by its mean
+    bucket weight; top-20 = the docs whose n-gram profile looks most
+    like the target. Plan shape: ONE pass over the exploded bigram
+    stream computes both counts (conditional agg), the weight table is
+    FIXED-size (8192 rows -> AQE broadcasts it onto the stream at any
+    corpus size), the doc score is one map-side-combinable agg, and the
+    global top-20 is TakeOrderedAndProject — no corpus-wide window, no
+    single-reducer sort."""
+    docs = _t(spark, sf, "documents")
+    grams = (
+        docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select("doc_id", "lang", F.explode(_bigram_col("toks")).alias("g"))
+        .select("doc_id", "lang", (_h60(F.col("g")) % _DSIR_B).alias("b"))
+    )
+    wts = (
+        grams.groupBy("b")
+        .agg(
+            F.count("*").alias("src"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                "tgt"
+            ),
+        )
+        .select("b", F.expr(f"(tgt + 1) * {_DSIR_S}L div (src + 1)").alias("w"))
+    )
+    per_doc = (
+        grams.where(F.col("lang") != "en")
+        .join(wts, "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_grams"), F.sum("w").alias("wsum"))
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "lang",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.expr("wsum div n_grams").cast("bigint").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+_DSIR_H60_G = H60_SQL.format(x="toks[i] || ' ' || toks[i+1]")
+
+ORACLE_DSIR = f"""
+WITH toked AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         {_DSIR_H60_G} % {_DSIR_B} AS b
+  FROM toked, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+), wts AS (
+  SELECT b, (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)
+              * {_DSIR_S} // (count(*) + 1) AS w
+  FROM grams GROUP BY b
+), per_doc AS (
+  SELECT doc_id, lang, count(*) AS n_grams, sum(w) AS wsum
+  FROM grams JOIN wts USING (b)
+  WHERE lang <> 'en'
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(wsum // n_grams AS BIGINT) AS score
+FROM per_doc
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+_RV_SHARDS = 8
+
+
+def q_rendezvous_shard_assign(spark, sf):
+    """Rendezvous (highest-random-weight) hashing of the URL space onto
+    frontier shards (Thaler & Ravishankar 1998): every url scores all 8
+    shards with h60(url || '#s<k>') and lands on the argmax. Unlike
+    mod-k assignment, resizing k -> k+1 relocates only ~1/(k+1) of urls
+    (only those whose new shard wins the max), which is what a live
+    crawl frontier needs when shards are added. Entirely per-row native
+    compute — the 8 hashes, greatest(), and the first-match CASE all sit
+    in one codegen span with NO explode and NO join — followed by a
+    single 8-row aggregate, so the query's only shuffle carries 8 groups
+    regardless of corpus size. Ties break to the lowest shard id
+    identically in both engines (CASE evaluates in order)."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    hs = [
+        _h60(F.concat(F.col("url"), F.lit(f"#s{s}"))).alias(f"h{s}")
+        for s in range(_RV_SHARDS)
+    ]
+    with_h = pages.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"), *hs
+    )
+    m = F.greatest(*[F.col(f"h{s}") for s in range(_RV_SHARDS)])
+    shard = F.coalesce(
+        *[
+            F.when(F.col(f"h{s}") == m, F.lit(s))
+            for s in range(_RV_SHARDS)
+        ]
+    )
+    return (
+        with_h.select("host", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        )
+        .select(
+            F.col("shard").cast("bigint").alias("shard"), "n_urls", "n_hosts"
+        )
+    )
+
+
+_RV_H = [
+    H60_SQL.format(x=f"url || '#s{s}'") for s in range(_RV_SHARDS)
+]
+_RV_GREATEST = "greatest(" + ", ".join(f"h{s}" for s in range(_RV_SHARDS)) + ")"
+_RV_CASE = (
+    "CASE "
+    + " ".join(f"WHEN h{s} = m THEN {s}" for s in range(_RV_SHARDS))
+    + " END"
+)
+
+ORACLE_RENDEZVOUS = f"""
+WITH hashed AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         {", ".join(f"{h} AS h{s}" for s, h in enumerate(_RV_H))}
+  {_PAGES_SRC}
+), m AS (
+  SELECT host, {_RV_GREATEST} AS m,
+         {", ".join(f"h{s}" for s in range(_RV_SHARDS))}
+  FROM hashed
+)
+SELECT CAST({_RV_CASE} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM m GROUP BY 1
+"""
+
+
+def q_pmi_bigrams(spark, sf):
+    """Collocation mining per language: top-5 bigrams by an integer-exact
+    PMI surrogate, score = c_xy * T_lang div (c_x * c_y) — the
+    cross-multiplied form of pmi = log(p_xy / (p_x p_y)) with the log
+    dropped (rank-equivalent for ranking within a language since log is
+    monotone), min support c_xy >= 3. Plan shape: the corpus is read
+    once into a token array; bigram derivation is a native transform()
+    (no posexplode self-join — the array already holds adjacency); both
+    count tables are map-side-combinable aggs; every join downstream is
+    vocabulary-sized so AQE broadcasts them; the final per-language
+    window ranks the collocation table, not the corpus. At true web
+    scale c_xy * T_lang widens to DECIMAL(38) — the shape is
+    unchanged."""
+    docs = _t(spark, sf, "documents")
+    toked = docs.select("lang", F.split("text", " ").alias("toks"))
+    grams = (
+        toked.select("lang", F.explode(_bigram_col("toks")).alias("g"))
+        .select(
+            "lang",
+            F.expr("split(g, ' ')[0]").alias("t1"),
+            F.expr("split(g, ' ')[1]").alias("t2"),
+        )
+    )
+    uni = (
+        toked.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.groupBy("lang").agg(F.sum("c").alias("t"))
+    big = (
+        grams.groupBy("lang", "t1", "t2")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= 3)
+    )
+    scored = (
+        big.join(
+            uni.select("lang", F.col("tok").alias("t1"),
+                       F.col("c").alias("c1")),
+            ["lang", "t1"],
+        )
+        .join(
+            uni.select("lang", F.col("tok").alias("t2"),
+                       F.col("c").alias("c2")),
+            ["lang", "t2"],
+        )
+        .join(tot, "lang")
+        .select(
+            "lang", "t1", "t2", "c_xy",
+            F.expr("c_xy * t div (c1 * c2)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.desc("c_xy"), "t1", "t2"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "lang", "t1", "t2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+ORACLE_PMI = """
+WITH toked AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT lang, toks[i] AS t1, toks[i + 1] AS t2
+  FROM toked, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), uni AS (
+  SELECT lang, unnest(toks) AS tok FROM toked
+), uc AS (
+  SELECT lang, tok, count(*) AS c FROM uni GROUP BY 1, 2
+), tot AS (
+  SELECT lang, sum(c) AS t FROM uc GROUP BY lang
+), big AS (
+  SELECT lang, t1, t2, count(*) AS c_xy
+  FROM grams GROUP BY 1, 2, 3 HAVING count(*) >= 3
+), scored AS (
+  SELECT b.lang, b.t1, b.t2, b.c_xy,
+         b.c_xy * tot.t // (u1.c * u2.c) AS score
+  FROM big b
+  JOIN uc u1 ON u1.lang = b.lang AND u1.tok = b.t1
+  JOIN uc u2 ON u2.lang = b.lang AND u2.tok = b.t2
+  JOIN tot ON tot.lang = b.lang
+)
+SELECT lang, t1, t2, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(score AS BIGINT) AS score, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY score DESC, c_xy DESC, t1, t2) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+_CBA_BUDGET = 10_000
+
+
+def q_crawl_budget_allocation(spark, sf):
+    """Largest-remainder (Hamilton) apportionment of a fixed crawl budget
+    across hosts: each host gets base = B * pending div total fetch
+    slots, and the B - sum(base) leftover slots go to the hosts with the
+    largest remainders — the integer-exact proportional-fair scheduler a
+    politeness-aware crawler runs every cycle (sum(alloc) == B exactly,
+    no fractional slots, no rounding drift). Scale shape: the corpus is
+    touched once (host rollup); everything after runs on the host-level
+    relation. The extras rank is the only global order and leftover < B
+    (a CONSTANT), so it uses the weighted_sample two-stage shape: local
+    top-leftover per salt shard first, global rank over <= 16*leftover
+    survivors — a host outside its shard's top-leftover is beaten by >=
+    leftover hosts in that shard alone, so stage 1 cannot evict a
+    winner. No single-reducer pass over all hosts anywhere."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    pend = (
+        pages.select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("pending"))
+    )
+    tot = pend.agg(F.sum("pending").alias("total"))
+    based = pend.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "pending",
+        F.expr(f"pending * {_CBA_BUDGET}L div total").alias("base"),
+        F.expr(f"(pending * {_CBA_BUDGET}L) % total").alias("rem"),
+    )
+    lsc = based.agg(
+        (F.lit(_CBA_BUDGET) - F.sum("base")).cast("bigint").alias("leftover")
+    )
+    salted = based.crossJoin(F.broadcast(lsc)).withColumn(
+        "salt", _h60(F.col("host")) % 16
+    )
+    w_local = Window.partitionBy("salt").orderBy(F.desc("rem"), "host")
+    cand = salted.withColumn("rl", F.row_number().over(w_local)).where(
+        F.col("rl") <= F.col("leftover")
+    )
+    w_glob = Window.orderBy(F.desc("rem"), "host")
+    extras = (
+        cand.withColumn("rg", F.row_number().over(w_glob))
+        .where(F.col("rg") <= F.col("leftover"))
+        .select("host", F.lit(1).alias("extra"))
+    )
+    return (
+        based.join(extras, "host", "left")
+        .select(
+            "host",
+            F.col("pending").cast("bigint").alias("pending"),
+            F.expr("base + coalesce(extra, 0)").cast("bigint").alias("alloc"),
+        )
+    )
+
+
+ORACLE_CRAWL_BUDGET = f"""
+WITH pend AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         count(*) AS pending
+  {_PAGES_SRC}
+  GROUP BY 1
+), based AS (
+  SELECT host, pending,
+         pending * {_CBA_BUDGET} // t AS base,
+         (pending * {_CBA_BUDGET}) % t AS rem
+  FROM pend, (SELECT sum(pending) AS t FROM pend)
+), lsc AS (
+  SELECT {_CBA_BUDGET} - sum(base) AS leftover FROM based
+)
+SELECT host, CAST(pending AS BIGINT) AS pending,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, host)
+                          <= (SELECT leftover FROM lsc)
+                   THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM based
+"""
+
+
+WEB_QUERIES_J: dict[str, QuerySpec] = {
+    "simhash_band_pairs": QuerySpec(
+        q_simhash_band_pairs, ORACLE_SIMHASH_BANDS
+    ),
+    "length_quantile_sketch": QuerySpec(
+        q_length_quantile_sketch, ORACLE_LEN_QUANTILES
+    ),
+    "dsir_importance_weights": QuerySpec(
+        q_dsir_importance_weights, ORACLE_DSIR
+    ),
+    "rendezvous_shard_assign": QuerySpec(
+        q_rendezvous_shard_assign, ORACLE_RENDEZVOUS
+    ),
+    "pmi_bigrams": QuerySpec(q_pmi_bigrams, ORACLE_PMI),
+    "crawl_budget_allocation": QuerySpec(
+        q_crawl_budget_allocation, ORACLE_CRAWL_BUDGET
+    ),
+}
+EXT_QUERIES.update(WEB_QUERIES_J)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
