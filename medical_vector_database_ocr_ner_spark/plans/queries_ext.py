@@ -4826,6 +4826,326 @@ WEB_QUERIES_J: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_J)
 
 
+# === webtext wave K (round 4, continued): SCD2 snapshot history,
+# host-level minhash mirror detection, BFS crawl-depth labeling ===
+
+
+def q_scd2_url_history(spark, sf):
+    """SCD2 (slowly-changing-dimension type 2) url version history from
+    crawl snapshots — the point-in-time twin of latest_snapshot_per_url:
+    every url's capture stream collapses into validity intervals
+    [valid_from, valid_to) that OPEN only when content actually changes
+    (an unchanged re-crawl extends the current interval instead of
+    minting a version — the consecutive-duplicate collapse every
+    snapshot warehouse needs). The fixture table has one capture per
+    url, so the query synthesizes the multi-snapshot input first (the
+    latest_snapshot pattern): every third url gains a +1h re-crawl with
+    CHANGED content and a +2h re-crawl with the SAME content as +1h —
+    the +2h capture must NOT create a version. Content identity is
+    md5(hex(html)) (hex first: DuckDB's md5 is VARCHAR-only, and hex is
+    byte-exact in both engines). Plan shape: both windows partition on
+    url — millions of tiny partitions, no skew at any scale — and the
+    change filter runs BEFORE the second window, so version/interval
+    assignment touches only rows that survive the collapse."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf).select(
+        "url", "warc_ts", F.md5(F.hex("html")).alias("ck")
+    )
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).try_cast("bigint")
+    changed = pages.where(page_no % 3 == 0).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        F.concat(F.lit("changed#"), F.col("url")).alias("ck"),
+    )
+    unchanged = changed.select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        "ck",
+    )
+    snaps = pages.unionByName(changed).unionByName(unchanged)
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    kept = (
+        snaps.withColumn("prev_ck", F.lag("ck").over(w))
+        .where(F.col("prev_ck").isNull() | (F.col("ck") != F.col("prev_ck")))
+    )
+    w2 = Window.partitionBy("url").orderBy("warc_ts")
+    return (
+        kept.select(
+            "url",
+            F.row_number().over(w2).cast("bigint").alias("version"),
+            F.col("warc_ts").alias("valid_from"),
+            F.lead("warc_ts").over(w2).alias("valid_to"),
+            F.lead("warc_ts").over(w2).isNull().alias("is_current"),
+        )
+    )
+
+
+ORACLE_SCD2 = f"""
+WITH pages AS (
+  SELECT url, warc_ts, md5(hex(html)) AS ck
+  {_PAGES_SRC}
+), changed AS (
+  SELECT url, warc_ts + INTERVAL 1 HOUR AS warc_ts,
+         'changed#' || url AS ck
+  FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 3 = 0
+), snaps AS (
+  SELECT url, warc_ts, ck FROM pages
+  UNION ALL SELECT url, warc_ts, ck FROM changed
+  UNION ALL SELECT url, warc_ts + INTERVAL 1 HOUR, ck FROM changed
+), kept AS (
+  SELECT url, warc_ts FROM (
+    SELECT url, warc_ts, ck,
+           lag(ck) OVER (PARTITION BY url ORDER BY warc_ts) AS prev_ck
+    FROM snaps
+  ) WHERE prev_ck IS NULL OR ck <> prev_ck
+)
+SELECT url,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       warc_ts AS valid_from,
+       lead(warc_ts) OVER w AS valid_to,
+       lead(warc_ts) OVER w IS NULL AS is_current
+FROM kept
+WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+"""
+
+
+_MH_SEEDS = 8   # minhash seeds per source signature
+_MH_BANDS = 4   # 2 seeds per band
+
+
+def q_source_mirror_detect(spark, sf):
+    """Mirror/parked-domain detection via GROUP-level minhash: each
+    source (site) gets an 8-seed minhash signature over the union of its
+    documents' token sets — min over a union is the min of mins, so the
+    signature builds in ONE map-side-combinable agg (8 min() columns, no
+    seed explode of the token stream) and merges across
+    shards/partitions/days like every portable sketch in this repo.
+    Banding (4 bands x 2 seeds, the minhash_dup_counts s-curve) makes
+    candidate pairs meet only inside band buckets — never all-pairs over
+    sources — and each candidate pair reports how many of its 8 seeds
+    agree (n_sigs, the Jaccard estimate x8) plus how many bands matched.
+    Features are word-2-gram shingles, not unigrams: the fixture's
+    sources share a ~30-token generator vocabulary, so unigram
+    signatures collide on ALL pairs (measured), while the ~700-shingle
+    bigram sets spread n_sigs across the full 1..8 range. At web scale
+    'source' is the registrable domain (~10^8 groups): the band explode
+    is x4 of the GROUP-level relation, not the corpus."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("source", F.split("text", " ").alias("toks")).select(
+        "source", F.explode(_bigram_col("toks")).alias("tok")
+    )
+    sigs = toks.groupBy("source").agg(
+        *[
+            F.min(
+                _h60(F.concat(F.lit(f"mh{s}#"), F.col("tok")))
+            ).alias(f"s{s}")
+            for s in range(_MH_SEEDS)
+        ]
+    )
+    bands = sigs.select(
+        "source",
+        *[F.col(f"s{s}") for s in range(_MH_SEEDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            F.col(f"s{2 * b}").cast("string"),
+                            F.col(f"s{2 * b + 1}").cast("string"),
+                        ).alias("bkey"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "source",
+        *[F.col(f"s{s}") for s in range(_MH_SEEDS)],
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            *[F.col(f"a.s{s}").alias(f"as{s}") for s in range(_MH_SEEDS)],
+            *[F.col(f"b.s{s}").alias(f"bs{s}") for s in range(_MH_SEEDS)],
+        )
+        .agg(F.countDistinct("a.band").alias("n_bands"))
+    )
+    n_sigs = sum(
+        F.when(F.col(f"as{s}") == F.col(f"bs{s}"), 1).otherwise(0)
+        for s in range(_MH_SEEDS)
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.col("n_bands").cast("bigint").alias("n_bands"),
+        n_sigs.cast("bigint").alias("n_sigs"),
+    )
+
+
+_MH_MIN_COLS = ",\n         ".join(
+    "min({h}) AS s{s}".format(
+        h=H60_SQL.format(x=f"'mh{s}#' || tok"), s=s
+    )
+    for s in range(_MH_SEEDS)
+)
+_MH_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT source, {', '.join(f's{s}' for s in range(_MH_SEEDS))},"
+    f" {b} AS band,"
+    f" CAST(s{2 * b} AS VARCHAR) || ':' || CAST(s{2 * b + 1} AS VARCHAR)"
+    f" AS bkey FROM sigs"
+    for b in range(_MH_BANDS)
+)
+_MH_NSIGS = " + ".join(
+    f"CASE WHEN a.s{s} = b.s{s} THEN 1 ELSE 0 END"
+    for s in range(_MH_SEEDS)
+)
+
+ORACLE_MIRROR = f"""
+WITH toked AS (
+  SELECT source, string_split(text, ' ') AS toks FROM documents
+), toks AS (
+  SELECT source, toks[i] || ' ' || toks[i + 1] AS tok
+  FROM toked, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+), sigs AS (
+  SELECT source,
+         {_MH_MIN_COLS}
+  FROM toks GROUP BY source
+), bands AS (
+{_MH_BAND_SELECTS}
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(DISTINCT a.band) AS BIGINT) AS n_bands,
+       CAST({_MH_NSIGS} AS BIGINT) AS n_sigs
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.source < b.source
+GROUP BY a.source, b.source,
+         {", ".join(f"a.s{s}" for s in range(_MH_SEEDS))},
+         {", ".join(f"b.s{s}" for s in range(_MH_SEEDS))}
+"""
+
+
+_BFS_ITERS = 3
+_BFS_SEEDS = ("host0.example", "host7.example")
+
+
+def q_crawl_depth_bfs(spark, sf):
+    """BFS crawl-depth labeling: minimum link-hops from a seed host set
+    over the host link graph (the same deterministic edge synthesis as
+    PageRank/HITS) — the signal a breadth-limited crawler uses to cut
+    off at depth k and the classic 'distance from trusted seeds' spam
+    feature (TrustRank's propagation skeleton). Each of the 3 iterations
+    relaxes dist(h) = min(dist(h), min over in-edges dist(src)+1): one
+    join + one agg over the O(hosts) graph per hop, localCheckpointed
+    like CC/HITS so lineage and plan stay iteration-independent; the
+    page-scale table is touched exactly once (edge aggregation). At
+    10^12 pages the host graph is ~10^8 rows — every per-iteration
+    shuffle is graph-sized, never corpus-sized."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    src = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).try_cast(
+        "bigint"
+    )
+    links = pages.select(src.alias("src"), page_i.alias("i"))
+
+    def _dst(expr):
+        return F.concat(F.lit("host"), expr.cast("string"), F.lit(".example"))
+
+    edges = (
+        links.select("src", _dst((F.col("i") * 7 + 1) % 50).alias("dst"))
+        .unionByName(links.select("src", _dst(F.col("i") % 10).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .where(F.col("host").isin(*_BFS_SEEDS))
+        .select("host", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_BFS_ITERS):
+        stepped = (
+            edges.join(dist.withColumnRenamed("host", "src"), "src")
+            .select(F.col("dst").alias("host"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(stepped)
+            .groupBy("host")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("host", F.col("dist").cast("bigint").alias("dist"))
+
+
+def _bfs_iter_cte(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT host, min(dist) AS dist FROM (
+    SELECT host, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS host, p.dist + 1 AS dist
+    FROM edges e JOIN {prev} p ON p.host = e.src
+  ) GROUP BY host
+)"""
+
+
+_BFS_SEEDS_SQL = ", ".join(f"'{h}'" for h in _BFS_SEEDS)
+_BFS_ITER_CTES = ",\n".join(
+    _bfs_iter_cte(f"d{k}", f"d{k + 1}") for k in range(_BFS_ITERS)
+)
+
+ORACLE_BFS = f"""
+WITH links AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS src,
+         TRY_CAST(regexp_extract(url, '([0-9]+)(\\.pdf)?$', 1) AS BIGINT) AS i
+  {_PAGES_SRC}
+), raw AS (
+  SELECT src, 'host' || CAST((i * 7 + 1) % 50 AS VARCHAR) || '.example' AS dst
+  FROM links
+  UNION ALL
+  SELECT src, 'host' || CAST(i % 10 AS VARCHAR) || '.example' AS dst
+  FROM links
+), edges AS (
+  SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), d0 AS (
+  SELECT host, CAST(0 AS BIGINT) AS dist FROM nodes
+  WHERE host IN ({_BFS_SEEDS_SQL})
+),
+{_BFS_ITER_CTES}
+SELECT host, CAST(dist AS BIGINT) AS dist FROM d{_BFS_ITERS}
+"""
+
+
+WEB_QUERIES_K: dict[str, QuerySpec] = {
+    "scd2_url_history": QuerySpec(q_scd2_url_history, ORACLE_SCD2),
+    "source_mirror_detect": QuerySpec(
+        q_source_mirror_detect, ORACLE_MIRROR
+    ),
+    "crawl_depth_bfs": QuerySpec(q_crawl_depth_bfs, ORACLE_BFS),
+}
+EXT_QUERIES.update(WEB_QUERIES_K)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
