@@ -5082,7 +5082,7 @@ def q_crawl_depth_bfs(spark, sf):
         .select("host", F.lit(0).cast("bigint").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(_BFS_ITERS):
+    for k in range(_BFS_ITERS):
         stepped = (
             edges.join(dist.withColumnRenamed("host", "src"), "src")
             .select(F.col("dst").alias("host"), (F.col("dist") + 1).alias("dist"))
@@ -5091,8 +5091,12 @@ def q_crawl_depth_bfs(spark, sf):
             dist.unionByName(stepped)
             .groupBy("host")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+        # checkpoint between hops (iteration-independent lineage, like
+        # CC/HITS) but leave the LAST relaxation declarative so the
+        # returned plan shows the per-hop join+min-agg shape
+        if k < _BFS_ITERS - 1:
+            dist = dist.localCheckpoint(eager=True)
     return dist.select("host", F.col("dist").cast("bigint").alias("dist"))
 
 

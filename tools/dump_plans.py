@@ -198,6 +198,58 @@ SELECTED = [
      "Page-scale data touched exactly once (edge aggregation, persisted); "
      "every HITS half-iteration joins and aggregates only the O(hosts) "
      "graph; rescale totals are one-row broadcast crossJoins."),
+    ("simhash_band_pairs",
+     "Banded LSH over simhash: signature agg, ×4 band Generate (bounded, "
+     "of the SIGNATURE relation not the corpus), bucket self-join on "
+     "(band, bval) — candidates never meet outside buckets — then the "
+     "exact Hamming check as a codegen bit_count(xor) filter."),
+    ("length_quantile_sketch",
+     "Histogram build is one map-side-combinable HashAggregate (≤64 "
+     "buckets/lang at any corpus size); the cumulative window and "
+     "quantile read-out run on the HISTOGRAM relation — the corpus is "
+     "touched exactly once, and the sketch rows merge like HLL/CMS."),
+    ("dsir_importance_weights",
+     "The 8192-row weight table builds with ONE conditional agg "
+     "(src+tgt counts in the same HashAggregate) and returns as a "
+     "BroadcastExchange onto the bigram stream; per-doc scoring is a "
+     "keyed partial agg; the global top-20 is TakeOrderedAndProject — "
+     "no corpus-wide window, no single-reducer sort."),
+    ("rendezvous_shard_assign",
+     "ReadSchema is struct<url> only; the 8 HRW hashes, greatest(), and "
+     "first-match CASE all sit in WholeStageCodegen Projects over the "
+     "scan — no explode, no join; the two Exchanges carry (shard, host) "
+     "partial-distinct groups then 8 final groups — group-level rows, "
+     "never url-level."),
+    ("pmi_bigrams",
+     "Bigrams via native transform() over the token array (no "
+     "posexplode self-join); unigram/bigram counts are partial-agg'd "
+     "map-side before their Exchanges; every downstream join is "
+     "vocabulary-sized (AQE broadcasts at fixture scale, degrades to "
+     "co-partitioned hash joins at web scale); the per-lang window "
+     "ranks the collocation table, not the corpus."),
+    ("crawl_budget_allocation",
+     "Corpus touched once (host rollup Exchange); base/remainder are "
+     "codegen over the host relation with the 1-row total broadcast; "
+     "the extras rank is two-stage — Window over (salt16) shards then a "
+     "global Window over ≤16·leftover survivors (leftover < B, a "
+     "constant) — never a single-reducer pass over all hosts."),
+    ("scd2_url_history",
+     "Both windows partition on url — millions of tiny partitions, one "
+     "Exchange on url serves BOTH (lag-filter and version/lead "
+     "assignment reuse the same partitioning); the consecutive-dup "
+     "collapse Filter runs between them, so interval assignment only "
+     "touches survivors."),
+    ("source_mirror_detect",
+     "The 8-seed signature is ONE map-side-combinable HashAggregate "
+     "(8 min() columns over the shingle stream — min of a union is the "
+     "min of mins, so partials merge anywhere); banding explodes the "
+     "GROUP-level signature relation ×4; candidate pairs meet only in "
+     "the (band, bkey) bucket join."),
+    ("crawl_depth_bfs",
+     "Pages scanned exactly once (edge aggregation, localCheckpointed); "
+     "each of the 3 BFS relaxations is one join + one min-agg over the "
+     "O(hosts) graph — InMemoryTableScans, plan and lineage independent "
+     "of the iteration count."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
