@@ -5150,6 +5150,94 @@ WEB_QUERIES_K: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_K)
 
 
+# === webtext wave L (round 4, continued): GROUPING SETS, merkle-style
+# partition checksums ===
+
+
+ORACLE_GROUPING_SETS = """
+SELECT coalesce(lang, 'ALL') AS lang_g,
+       coalesce(source, 'ALL') AS source_g,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+"""
+
+
+def q_grouping_sets_panel(spark, sf):
+    """GROUPING SETS traffic panel — the explicit-sets sibling of
+    cube_lineitem/rollup_event_stats: per-language, per-source,
+    per-(language, source), and grand-total doc counts in ONE pass.
+    Catalyst plans all four groupings through a single Expand (each
+    input row fans out once per set) feeding one partial+final
+    HashAggregate — one corpus scan and one shuffle for the whole panel,
+    where four separate GROUP BYs would scan and shuffle four times.
+    NULL group keys from Expand are relabeled 'ALL' (the fixture's lang/
+    source are never null, so the label is unambiguous). The SQL string
+    is the exact text a reference user would write; it runs unchanged on
+    both engines (above_avg_orders_sql pattern)."""
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(ORACLE_GROUPING_SETS)
+
+
+_PCHK_BUCKETS = 64
+
+
+def q_partition_checksums(spark, sf):
+    """Merkle-style table fingerprint for cross-copy anti-entropy: the
+    corpus is carved into 64 url-hash buckets and each bucket reports
+    (n_rows, bit_xor of a per-row content key). Two table copies (a
+    re-extraction, a replicated sink, a resumed run's output — the
+    lineage/resume manifest's integrity twin) can be diffed by comparing
+    64 rows instead of 10^12: any divergent row flips its bucket's xor.
+    bit_xor is the one order-insensitive, overflow-free exact reducer —
+    sum of 60-bit keys overflows BIGINT at ~10^0.9 rows/bucket at web
+    scale, while xor is closed over 64 bits and merges map-side (partial
+    xor per partition, final xor per bucket: the agg output is ≤64 rows
+    at ANY corpus size). The content key hashes url + payload identity
+    (md5 of hex — the scd2 convention for blob hashing in both
+    engines)."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    keyed = pages.select(
+        F.pmod(_h60(F.col("url")), F.lit(_PCHK_BUCKETS)).alias("bucket"),
+        _h60(
+            F.concat(F.col("url"), F.lit("#"), F.md5(F.hex("html")))
+        ).alias("ck"),
+    )
+    return keyed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(ck)").cast("bigint").alias("checksum"),
+    ).select(F.col("bucket").cast("bigint").alias("bucket"), "n_rows",
+             "checksum")
+
+
+_PCHK_H_URL = H60_SQL.format(x="url")
+_PCHK_H_CK = H60_SQL.format(x="url || '#' || md5(hex(html))")
+
+ORACLE_PCHK = f"""
+WITH keyed AS (
+  SELECT {_PCHK_H_URL} % {_PCHK_BUCKETS} AS bucket,
+         {_PCHK_H_CK} AS ck
+  {_PAGES_SRC}
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(ck) AS BIGINT) AS checksum
+FROM keyed GROUP BY bucket
+"""
+
+
+WEB_QUERIES_L: dict[str, QuerySpec] = {
+    "grouping_sets_panel": QuerySpec(
+        q_grouping_sets_panel, ORACLE_GROUPING_SETS
+    ),
+    "partition_checksums": QuerySpec(q_partition_checksums, ORACLE_PCHK),
+}
+EXT_QUERIES.update(WEB_QUERIES_L)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
