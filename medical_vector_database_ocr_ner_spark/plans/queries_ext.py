@@ -4319,14 +4319,24 @@ def q_simhash_band_pairs(spark, sf):
     from .queries import q_simhash16
 
     sig = q_simhash16(spark, sf).where(F.col("doc_id") < _SBP_MAXDOC)
-    bands = spark.range(_SBP_BANDS).select(
-        F.col("id").cast("int").alias("band")
-    )
-    banded = sig.crossJoin(F.broadcast(bands)).select(
+    # band explode as a native Generate over a 4-element literal array —
+    # no join topology at all (a crossJoin with a 4-row frame would plan
+    # a BroadcastNestedLoopJoin for the same result)
+    banded = sig.select(
         "doc_id",
         "simhash",
-        "band",
-        F.expr("(simhash div shiftleft(1L, band * 4)) % 16").alias("bval"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_SBP_BANDS - 1}), b -> "
+                "struct(cast(b as int) as band,"
+                " (simhash div shiftleft(1L, b * 4)) % 16 as bval))"
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bval").alias("bval"),
     )
     pairs = (
         banded.alias("a")

@@ -268,3 +268,38 @@ class TestCrawlBudgetAllocation:
         got = {r["host"]: (r["pending"], r["alloc"]) for r in rows}
         assert got == expected
         assert sum(a for _, a in got.values()) == _CBA_BUDGET
+
+
+class TestWaveJPlanShapes:
+    """Pin the physical-plan properties PLANS.md claims for wave J."""
+
+    @staticmethod
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_rendezvous_no_join_no_explode_reads_url_only(
+        self, spark, sf001_dir
+    ):
+        plan = self._plan(q_rendezvous_shard_assign(spark, sf001_dir))
+        assert "Join" not in plan and "Generate" not in plan
+        assert "ReadSchema: struct<url:string>" in plan
+
+    def test_dsir_topk_is_take_ordered_with_broadcast_weights(
+        self, spark, sf001_dir
+    ):
+        plan = self._plan(q_dsir_importance_weights(spark, sf001_dir))
+        assert "TakeOrderedAndProject" in plan  # never a global sort
+        assert "BroadcastHashJoin" in plan      # 8192-row weight table
+        assert "CartesianProduct" not in plan
+
+    def test_simhash_bands_no_allpairs(self, spark, sf001_dir):
+        plan = self._plan(q_simhash_band_pairs(spark, sf001_dir))
+        assert "CartesianProduct" not in plan
+        # the candidate pair join is keyed on (band, bval) — a hash or
+        # merge join, never a nested loop over all signature pairs. (The
+        # plan DOES contain one BroadcastNestedLoopJoin: q_simhash16's
+        # bounded 16-row bits crossJoin — a deliberate constant-size
+        # broadcast, not a pair join.)
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+        # the band fan-out is a Generate (native explode), not a join
+        assert "Generate explode" in plan

@@ -175,3 +175,21 @@ class TestCrawlDepthBfs:
             if h in got:
                 assert got[h] == 0
         assert all(0 <= d <= _BFS_ITERS for d in got.values())
+
+
+class TestWaveKPlanShapes:
+    """Pin the physical-plan properties PLANS.md claims for wave K."""
+
+    @staticmethod
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_scd2_two_windows_share_one_exchange(self, spark, sf001_dir):
+        plan = self._plan(q_scd2_url_history(spark, sf001_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        assert plan.count("Window") == 2
+
+    def test_mirror_detect_no_allpairs(self, spark, sf001_dir):
+        plan = self._plan(q_source_mirror_detect(spark, sf001_dir))
+        assert "CartesianProduct" not in plan
+        assert "NestedLoop" not in plan

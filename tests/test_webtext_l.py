@@ -106,3 +106,21 @@ class TestPartitionChecksums:
         diff = [b for b in base if base[b] != mutated[b]]
         assert len(diff) == 1
         assert base[diff[0]][0] == mutated[diff[0]][0]  # same n_rows
+
+
+class TestWaveLPlanShapes:
+    """Pin the physical-plan properties PLANS.md claims for wave L."""
+
+    @staticmethod
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_grouping_sets_one_expand_one_exchange(self, spark, sf001_dir):
+        plan = self._plan(q_grouping_sets_panel(spark, sf001_dir))
+        assert "Expand" in plan  # all four groupings in one pass
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+    def test_checksums_one_exchange_mapside_xor(self, spark, sf001_dir):
+        plan = self._plan(q_partition_checksums(spark, sf001_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        assert "partial_bit_xor" in plan  # merges map-side
