@@ -5248,6 +5248,131 @@ WEB_QUERIES_L: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_L)
 
 
+# === webtext wave M (round 4, continued): point-in-time reads,
+# deterministic epoch shuffle ===
+
+
+_PIT_T = "2023-06-01 02:00:00"  # mid-range at every sf (captures start
+# 2023-06-01 00:00 and spread forward ~7s/page)
+
+
+def q_pit_snapshot_lookup(spark, sf):
+    """Point-in-time (time-travel) read over the SCD2 url history: which
+    version of each url was live at T — the consumer query every
+    snapshot warehouse serves ('reproduce the corpus exactly as crawled
+    on date X' is how training runs are made re-runnable). Because SCD2
+    intervals are disjoint and half-open per url, the lookup is a pure
+    FILTER over the history table (valid_from <= T < valid_to, with
+    NULL valid_to = still current) — at most one row per url survives,
+    NO window and NO join are added on top of the history build; a url
+    first captured after T correctly vanishes from the snapshot. At
+    production scale the history table is materialized once and every
+    PIT read is this zero-shuffle predicate (plus parquet min/max
+    pruning on valid_from when sorted at write time)."""
+    t = F.lit(_PIT_T).cast("timestamp_ntz")
+    hist = q_scd2_url_history(spark, sf)
+    return hist.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("url", "version", "valid_from")
+
+
+ORACLE_PIT = f"""
+WITH hist AS ({ORACLE_SCD2})
+SELECT url, version, valid_from
+FROM hist
+WHERE valid_from <= TIMESTAMP '{_PIT_T}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_PIT_T}')
+"""
+
+
+_EP_SHARDS = 32
+_EP_SALTS = 16
+_EP_SEED = "ep1"
+
+
+def q_epoch_shuffle_assign(spark, sf):
+    """Deterministic epoch shuffle — the reproducible global permutation
+    a training run needs (every re-run, every engine, every cluster size
+    reads the same document order) WITHOUT a global sort: each doc hashes
+    to a shard (pmod(h, 32)) and its position within the shard is an
+    exact dense 0..n-1 rank computed by the bucketed-prefix-sum pattern
+    (token_shard_packing's shape): independent hash bits pick a salt
+    sub-bucket, a 512-row (shard, salt) count table — broadcast — gives
+    each sub-bucket its starting offset, and a row_number window over
+    (shard, salt) ranks only 1/512th of the corpus per reducer. Adding
+    salt bits scales the reducer bound with the cluster; the permutation
+    is a pure function of (seed, doc_id), so epoch 2 is a seed change,
+    not a data move."""
+    docs = _t(spark, sf, "documents")
+    keyed = docs.select(
+        "doc_id",
+        _h60(
+            F.concat(F.lit(f"{_EP_SEED}#"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    ).select(
+        "doc_id",
+        "h",
+        F.pmod(F.col("h"), F.lit(_EP_SHARDS)).alias("shard"),
+        F.pmod(F.expr(f"h div {_EP_SHARDS}"), F.lit(_EP_SALTS)).alias(
+            "salt"
+        ),
+    )
+    counts = keyed.groupBy("shard", "salt").agg(F.count("*").alias("c"))
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_off), F.lit(0))
+    ).select("shard", "salt", "off")
+    w_local = Window.partitionBy("shard", "salt").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("rl", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["shard", "salt"])
+        .select(
+            "doc_id",
+            F.col("shard").cast("bigint").alias("shard"),
+            (F.col("off") + F.col("rl") - 1).cast("bigint").alias("pos"),
+        )
+    )
+
+
+_EP_H = H60_SQL.format(x=f"'{_EP_SEED}#' || CAST(doc_id AS VARCHAR)")
+
+ORACLE_EPOCH = f"""
+WITH keyed AS (
+  SELECT doc_id, {_EP_H} AS h,
+         {_EP_H} % {_EP_SHARDS} AS shard,
+         ({_EP_H} // {_EP_SHARDS}) % {_EP_SALTS} AS salt
+  FROM documents
+), counts AS (
+  SELECT shard, salt, count(*) AS c FROM keyed GROUP BY 1, 2
+), offsets AS (
+  SELECT shard, salt,
+         coalesce(sum(c) OVER (PARTITION BY shard ORDER BY salt
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off
+  FROM counts
+)
+SELECT k.doc_id, CAST(k.shard AS BIGINT) AS shard,
+       CAST(o.off + row_number() OVER (PARTITION BY k.shard, k.salt
+                                       ORDER BY k.h, k.doc_id) - 1
+            AS BIGINT) AS pos
+FROM keyed k JOIN offsets o ON o.shard = k.shard AND o.salt = k.salt
+"""
+
+
+WEB_QUERIES_M: dict[str, QuerySpec] = {
+    "pit_snapshot_lookup": QuerySpec(q_pit_snapshot_lookup, ORACLE_PIT),
+    "epoch_shuffle_assign": QuerySpec(
+        q_epoch_shuffle_assign, ORACLE_EPOCH
+    ),
+}
+EXT_QUERIES.update(WEB_QUERIES_M)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
