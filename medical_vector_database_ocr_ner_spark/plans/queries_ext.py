@@ -5373,6 +5373,57 @@ WEB_QUERIES_M: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_M)
 
 
+def q_session_window_stats(spark, sf):
+    """The BUILT-IN session-window operator (F.session_window) on the
+    batch path — the declarative form of user_sessions' lag/cumsum and
+    the batch twin of streaming/session_window.py (same function, same
+    gap; stream==batch proven in tests/test_streaming_lineage.py
+    alongside the custom applyInPandasWithState sessionizer). The DuckDB
+    oracle mirrors Spark's INCLUSIVE gap boundary with the classic
+    lag/cumsum rewrite: an event at exactly last+gap still EXTENDS the
+    session (measured at sf0.1 — the fixture contains exactly one
+    1800s-apart pair and Spark merges it), so a new session starts only
+    when ts - prev > gap. The value sum is integer-exact
+    (sum of floor(value*1000)) so float summation order can never shift
+    the hash. Plan shape: one Exchange on user_id; the session merge is
+    the engine's sort-based window coalescing within each user partition
+    — per-user partitions are tiny at any corpus size."""
+    from ..streaming.session_window import session_window_stats
+
+    ev = _t(spark, sf, "events")
+    return session_window_stats(ev)
+
+
+ORACLE_SESSION_WINDOW = """
+WITH lagd AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_value_milli
+FROM sess GROUP BY user_id, sid
+"""
+
+
+WEB_QUERIES_N: dict[str, QuerySpec] = {
+    "session_window_stats": QuerySpec(
+        q_session_window_stats, ORACLE_SESSION_WINDOW
+    ),
+}
+EXT_QUERIES.update(WEB_QUERIES_N)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path

@@ -420,3 +420,98 @@ class TestStragglerSessions:
         assert len(closed) == 1 and closed.iloc[0]["n_events"] == 2
         assert state.updated == (self.T0 + 75 * self.MIN,
                                  self.T0 + 100 * self.MIN, 2, 5.0)
+
+
+class TestBuiltinSessionWindow:
+    """The BUILT-IN session_window operator (streaming/session_window.py):
+    three-way equivalence — built-in stream == built-in batch == the
+    custom applyInPandasWithState sessionizer — on the same events."""
+
+    SCHEMA = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+    def _events(self, spark):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1, 9, 0, 0)
+
+        def ev(eid, user, minutes, value):
+            return (eid, base + timedelta(minutes=minutes), user, "click",
+                    value)
+
+        # user 1: session A (0,5,10) then >30min gap → session B (50)
+        # user 2: one session (0,3)
+        # user 3: two events EXACTLY 30min apart — the inclusive-boundary
+        # case: one session, not two
+        rows = [ev(1, 1, 0, 1.0), ev(2, 1, 5, 2.0), ev(3, 1, 10, 3.0),
+                ev(4, 1, 50, 4.0), ev(5, 2, 0, 5.0), ev(6, 2, 3, 6.0),
+                ev(7, 3, 0, 7.5), ev(8, 3, 30, 0.5)]
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_stream_matches_batch_matches_stateful(self, spark,
+                                                   tmpdir_clean):
+        from datetime import datetime
+
+        from medical_vector_database_ocr_ner_spark.streaming.session_window import (
+            run_session_window_stream, session_window_stats,
+        )
+
+        src = os.path.join(tmpdir_clean, "sw_src")
+        out = os.path.join(tmpdir_clean, "sw_out")
+        ckpt = os.path.join(tmpdir_clean, "sw_ckpt")
+        df = self._events(spark)
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+
+        q = run_session_window_stream(spark, src, ckpt, out)
+        q.awaitTermination(120)
+        # append-mode gate: nothing final until the watermark passes;
+        # push it with a sentinel 10h ahead (rate_limit test pattern)
+        sentinel = spark.createDataFrame(
+            [(99, datetime(2024, 1, 1, 20, 0, 0), 999, "flush", 0.0)],
+            self.SCHEMA,
+        )
+        sentinel.write.mode("append").parquet(src)
+        q2 = run_session_window_stream(spark, src, ckpt, out)
+        q2.awaitTermination(120)
+
+        got = spark.read.parquet(out).where("user_id != 999")
+        want = session_window_stats(df)
+        key = ["user_id", "session_start", "session_last", "n_events",
+               "sum_value_milli"]
+        assert sorted(tuple(r[k] for k in key) for r in got.collect()) == \
+            sorted(tuple(r[k] for k in key) for r in want.collect())
+
+        # inclusive boundary: user 3's exact-gap pair is ONE session
+        u3 = [r for r in want.collect() if r["user_id"] == 3]
+        assert len(u3) == 1 and u3[0]["n_events"] == 2
+
+        # custom stateful sessionizer agrees on every closed session
+        # (it reports session_end == last event ts == session_last)
+        from medical_vector_database_ocr_ner_spark.streaming.sessions import (
+            run_sessionize,
+        )
+
+        src2 = os.path.join(tmpdir_clean, "st_src")
+        out2 = os.path.join(tmpdir_clean, "st_out")
+        ckpt2 = os.path.join(tmpdir_clean, "st_ckpt")
+        schema6 = self.SCHEMA + ", props string"
+        spark.createDataFrame(
+            [tuple(r) + ("{}",) for r in self._events(spark).collect()]
+            + [(99, datetime(2024, 1, 1, 20, 0, 0), 1, "flush", 0.0, "{}"),
+               (100, datetime(2024, 1, 1, 20, 0, 0), 2, "flush", 0.0, "{}"),
+               (101, datetime(2024, 1, 1, 20, 0, 0), 3, "flush", 0.0, "{}")],
+            schema6,
+        ).coalesce(1).write.mode("overwrite").parquet(src2)
+        qs = run_sessionize(spark, src2, ckpt2, out2)
+        qs.awaitTermination()
+        stateful = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], int(r["sum_value"] * 1000))
+            for r in spark.read.parquet(out2).collect()
+        }
+        builtin = {
+            (r["user_id"], r["session_start"], r["session_last"],
+             r["n_events"], r["sum_value_milli"])
+            for r in want.collect()
+        }
+        assert builtin <= stateful  # every built-in session, same bounds
