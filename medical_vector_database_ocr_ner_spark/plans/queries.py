@@ -1428,11 +1428,12 @@ DRIVER_PRIORITY: list[str] = [
     "lang_source_pivot",
     "event_funnel",
     # tier 2d — wave E/F entries green only in r3 — second confirmation.
-    # Wave J's six tier-1 entries moved the 50-row cut up: it now falls
-    # after pii_scrub_docs, displacing boilerplate_line_strip ..
-    # politeness_audit and tier 2e (all r3-green singles — union-of-rounds
-    # coverage holds; hash verification of never-checked queries outranks
-    # second confirmations).
+    # Waves J-N added 14 tier-1 entries, moving the 50-row cut up: it
+    # now falls after doc_stats_panel (slot 50), so lang_source_pivot,
+    # event_funnel, all of tier 2d/2e, and the anchors below sit outside
+    # the window this round (all r1/r2/r3-green — union-of-rounds
+    # coverage holds; hash verification of never-checked queries
+    # outranks second confirmations).
     "gopher_quality_flags",
     "host_stats_salted",
     "rare_token_fraction",
