@@ -1358,6 +1358,9 @@ _load_ext()
 DRIVER_PRIORITY: list[str] = [
     # ---- round-4 window ----
     # tier 1 — new in round 4 / never driver-checked in any round (r1-r3)
+    "cdc_chunk_dedup",
+    "etld1_registrable",
+    "host_triangle_count",
     "session_window_stats",
     "pit_snapshot_lookup",
     "epoch_shuffle_assign",

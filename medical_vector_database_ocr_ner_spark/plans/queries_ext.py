@@ -5424,6 +5424,337 @@ WEB_QUERIES_N: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_N)
 
 
+# === webtext wave O (round 4, continued): content-defined chunking,
+# registrable domains, triangle counting ===
+
+
+_CDC_MOD = 8  # expected chunk length in tokens (boundary prob 1/8)
+
+
+def q_cdc_chunk_dedup(spark, sf):
+    """Content-defined chunking dedup (Rabin/FastCDC-style boundaries,
+    the dedup-storage trick applied to text): a token CLOSES a chunk
+    when h60(token) % 8 == 0, so chunk boundaries are a function of
+    CONTENT, not position — prepend one word to a document and every
+    fixed-width chunk shifts (chunk_dedup_docs' 8-gram hashes all
+    change) while CDC chunks realign at the first boundary and the rest
+    dedup unchanged. That shift-resistance is why backup/dedup systems
+    use CDC; for web corpora it catches boilerplate that moved by an
+    inserted banner. Plan shape: posexplode → per-doc cumsum window
+    (per-doc partitions — tiny at any scale) → per-(doc, chunk) rebuild
+    via sort_array(collect_list) — the sentence-dedup reassembly idiom —
+    → md5 → one distinct-agg per language. Summary output is
+    languages-sized."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).withColumn(
+        "brk", (_h60(F.col("tok")) % _CDC_MOD == 0).cast("int")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_id", F.coalesce(F.sum("brk").over(w), F.lit(0))
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "lang", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(sort_array(collect_list(struct(pos, tok))),"
+                        " s -> s.tok)"
+                    ),
+                )
+            ).alias("h"),
+            F.count("*").alias("n_toks"),
+        )
+    )
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("h").alias("n_distinct"),
+            F.sum("n_toks").alias("n_toks"),
+        )
+        .select(
+            "lang",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.expr("(n_chunks - n_distinct) * 10000 div n_chunks")
+            .cast("bigint")
+            .alias("dup_pct_x100"),
+            F.expr("n_toks * 10 div n_chunks").cast("bigint").alias(
+                "avg_len_x10"
+            ),
+        )
+    )
+
+
+_CDC_H_TOK = H60_SQL.format(x="tok")
+
+ORACLE_CDC = f"""
+WITH toks AS (
+  SELECT doc_id, lang, i - 1 AS pos, toks[i] AS tok,
+         CASE WHEN {_CDC_H_TOK.replace("md5(tok)", "md5(toks[i])")}
+                   % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS brk
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents),
+       unnest(generate_series(1, len(toks))) AS t(i)
+), chunked AS (
+  SELECT doc_id, lang, pos, tok,
+         coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS chunk_id
+  FROM toks
+), chunks AS (
+  SELECT doc_id, lang, chunk_id,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
+         count(*) AS n_toks
+  FROM chunked GROUP BY doc_id, lang, chunk_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST((count(*) - count(DISTINCT h)) * 10000 // count(*) AS BIGINT)
+         AS dup_pct_x100,
+       CAST(sum(n_toks) * 10 // count(*) AS BIGINT) AS avg_len_x10
+FROM chunks GROUP BY lang
+"""
+
+
+_PSL_SUFFIXES = [("example", 1), ("org.example", 2)]
+
+
+def q_etld1_registrable(spark, sf):
+    """Registrable-domain (eTLD+1) extraction via a BROADCAST
+    public-suffix table with longest-match — how politeness, domain
+    caps, and mirror grouping key hosts in production (psl is ~9k rules;
+    'a.b.co.uk' must group under 'b.co.uk', not 'co.uk'). The fixture's
+    hosts are flat, so the query first synthesizes the hard cases (the
+    latest_snapshot pattern): every 3rd page's host gains a 'cdn.'
+    subdomain (same registrable domain) and every 5th moves under the
+    multi-label suffix 'org.example'. Longest-match is two LEFT joins
+    against the broadcast suffix table (last-1-label and last-2-label
+    candidates; the longer match wins by CASE) — per-row native label
+    slicing, no explode of the label list, and the suffix table is
+    broadcast at any corpus size because the psl is constant-sized. The
+    rollup keys on the registrable domain."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    base = pages.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host0"),
+        F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1)
+        .try_cast("bigint")
+        .alias("i"),
+    )
+    host = (
+        F.when(
+            F.col("i") % 5 == 0,
+            F.regexp_replace("host0", r"\.example$", ".org.example"),
+        )
+        .otherwise(F.col("host0"))
+    )
+    host = F.when(F.col("i") % 3 == 0, F.concat(F.lit("cdn."), host)) \
+        .otherwise(host)
+    hosts = base.select(host.alias("host"))
+    labels = hosts.withColumn("ls", F.split("host", r"\."))
+    cands = labels.select(
+        "host",
+        F.expr("concat_ws('.', slice(ls, size(ls), 1))").alias("c1"),
+        F.expr(
+            "CASE WHEN size(ls) >= 2 THEN"
+            " concat_ws('.', slice(ls, size(ls) - 1, 2)) END"
+        ).alias("c2"),
+        F.col("ls"),
+    )
+    suf = spark.createDataFrame(_PSL_SUFFIXES, "suffix string, nlabels int")
+    s1 = suf.select(F.col("suffix").alias("c1"),
+                    F.lit(1).alias("m1"))
+    s2 = suf.select(F.col("suffix").alias("c2"),
+                    F.lit(1).alias("m2"))
+    matched = (
+        cands.join(F.broadcast(s2), "c2", "left")
+        .join(F.broadcast(s1), "c1", "left")
+        .select(
+            "host",
+            F.expr(
+                "CASE WHEN m2 = 1 AND size(ls) >= 3 THEN"
+                " concat_ws('.', slice(ls, size(ls) - 2, 3))"
+                " WHEN m2 = 1 THEN concat_ws('.', ls)"
+                " WHEN m1 = 1 AND size(ls) >= 2 THEN"
+                " concat_ws('.', slice(ls, size(ls) - 1, 2))"
+                " ELSE host END"
+            ).alias("reg_domain"),
+        )
+    )
+    return matched.groupBy("reg_domain").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+    )
+
+
+_PSL_VALUES = ", ".join(f"('{s}', {n})" for s, n in _PSL_SUFFIXES)
+
+ORACLE_ETLD1 = f"""
+WITH base AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host0,
+         TRY_CAST(regexp_extract(url, '([0-9]+)(\\.pdf)?$', 1) AS BIGINT)
+           AS i
+  {_PAGES_SRC}
+), hosted AS (
+  SELECT CASE WHEN i % 3 = 0 THEN 'cdn.' ELSE '' END ||
+         CASE WHEN i % 5 = 0
+              THEN regexp_replace(host0, '\\.example$', '.org.example')
+              ELSE host0 END AS host
+  FROM base
+), cands AS (
+  SELECT host, string_split(host, '.') AS ls,
+         ls[len(ls)] AS c1,
+         CASE WHEN len(ls) >= 2
+              THEN ls[len(ls) - 1] || '.' || ls[len(ls)] END AS c2
+  FROM hosted
+), suf(suffix, nlabels) AS (VALUES {_PSL_VALUES}),
+matched AS (
+  SELECT c.host,
+         CASE WHEN s2.suffix IS NOT NULL AND len(c.ls) >= 3
+              THEN c.ls[len(c.ls) - 2] || '.' || c.c2
+              WHEN s2.suffix IS NOT NULL THEN c.host
+              WHEN s1.suffix IS NOT NULL AND len(c.ls) >= 2
+              THEN c.c2
+              ELSE c.host END AS reg_domain
+  FROM cands c
+  LEFT JOIN suf s2 ON s2.suffix = c.c2
+  LEFT JOIN suf s1 ON s1.suffix = c.c1
+)
+SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM matched GROUP BY reg_domain
+"""
+
+
+def q_host_triangle_count(spark, sf):
+    """Triangle counting on the host link graph with the degree-ordered
+    node-iterator orientation (Schank-Wagner / Latapy): undirected edges
+    are oriented low-degree → high-degree, so every triangle is counted
+    exactly once and — the scale property — the join fan-out per vertex
+    is bounded by its ORIENTED out-degree, O(sqrt(m)) on any graph (a
+    celebrity host with 10^6 in-links contributes only its out-oriented
+    wedges, never the 10^12 pairs of its neighbors). Two joins over the
+    O(hosts) edge relation: wedges = e1(a,b) ⋈ e2(b,c), closed by an
+    edge-set semi-join on (a,c). Pages are touched once (edge agg);
+    triangle density is the classic spam-farm / link-ring signal."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    src = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    page_i = F.regexp_extract("url", r"([0-9]+)(\.pdf)?$", 1).try_cast(
+        "bigint"
+    )
+    links = pages.select(src.alias("s"), page_i.alias("i"))
+
+    def _dst(expr):
+        return F.concat(F.lit("host"), expr.cast("string"), F.lit(".example"))
+
+    directed = (
+        links.select("s", _dst((F.col("i") * 7 + 1) % 50).alias("d"))
+        .unionByName(links.select("s", _dst(F.col("i") % 10).alias("d")))
+        .where(F.col("s") != F.col("d"))
+    )
+    und = directed.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("v", "a")
+                 .withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b")
+              .withColumnRenamed("deg", "db"), "b")
+    )
+    oriented = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+        .alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.w").alias("w"))
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            F.col("e1.w") == F.col("e2.u"),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.w").alias("y"),
+            F.col("e2.w").alias("z"),
+        )
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("w").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+ORACLE_TRIANGLES = f"""
+WITH links AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS s,
+         TRY_CAST(regexp_extract(url, '([0-9]+)(\\.pdf)?$', 1) AS BIGINT)
+           AS i
+  {_PAGES_SRC}
+), raw AS (
+  SELECT s, 'host' || CAST((i * 7 + 1) % 50 AS VARCHAR) || '.example' AS d
+  FROM links
+  UNION ALL
+  SELECT s, 'host' || CAST(i % 10 AS VARCHAR) || '.example' AS d
+  FROM links
+), und AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM raw WHERE s <> d
+), deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY v
+), oriented AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+              THEN a ELSE b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+              THEN b ELSE a END AS w
+  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM oriented e1
+JOIN oriented e2 ON e2.u = e1.w
+WHERE EXISTS (SELECT 1 FROM oriented e3
+              WHERE e3.u = e1.u AND e3.w = e2.w)
+"""
+
+
+WEB_QUERIES_O: dict[str, QuerySpec] = {
+    "cdc_chunk_dedup": QuerySpec(q_cdc_chunk_dedup, ORACLE_CDC),
+    "etld1_registrable": QuerySpec(q_etld1_registrable, ORACLE_ETLD1),
+    "host_triangle_count": QuerySpec(
+        q_host_triangle_count, ORACLE_TRIANGLES
+    ),
+}
+EXT_QUERIES.update(WEB_QUERIES_O)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
