@@ -5755,6 +5755,175 @@ WEB_QUERIES_O: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_O)
 
 
+# === webtext wave P (round 4, continued): robust stats from the count
+# table, Z-order layout keys ===
+
+
+_TRIM_PCT = 5  # trim 5% from each tail
+
+
+def q_trimmed_mean_length(spark, sf):
+    """Exact 5%-trimmed mean of document length per language — the
+    robust location statistic (outlier-immune, unlike the plain mean a
+    single 100 MB scrape error drags) computed WITHOUT sorting the
+    corpus: the third use of the bounded value-count table pattern
+    (after length_outliers' exact percent_rank and the quantile
+    sketch). counts per (lang, n_chars) are bounded by DISTINCT lengths,
+    not corpus size; a running cumsum over that table tells each value
+    how many of its copies fall inside the trim window
+    [k, n-k), k = n*5 div 100, via pure interval arithmetic
+    (kept = min(cum, n-k) - max(cum-c, k), clamped); the trimmed mean is
+    an integer-exact ratio ×100. No per-language sort of documents
+    exists anywhere in the plan."""
+    docs = _t(spark, sf, "documents")
+    counts = (
+        docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    )
+    w_cum = Window.partitionBy("lang").orderBy("n_chars")
+    w_tot = Window.partitionBy("lang")
+    cum = (
+        counts.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_tot))
+        .withColumn("k", F.expr(f"n * {_TRIM_PCT} div 100"))
+    )
+    kept = cum.select(
+        "lang",
+        "n_chars",
+        "n",
+        "k",
+        F.expr(
+            "greatest(0L, least(cum, n - k) - greatest(cum - c, k))"
+        ).alias("kept"),
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("k").alias("k_trim"),
+            F.sum("kept").alias("kept_n"),
+            F.sum(F.expr("n_chars * kept")).alias("kept_sum"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("k_trim").cast("bigint").alias("k_trim"),
+            F.col("kept_n").cast("bigint").alias("kept_n"),
+            F.expr("kept_sum * 100 div kept_n").cast("bigint").alias(
+                "trimmed_mean_x100"
+            ),
+        )
+    )
+
+
+ORACLE_TRIMMED_MEAN = f"""
+WITH counts AS (
+  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, n_chars, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM counts
+), kept AS (
+  SELECT lang, n_chars, n, n * {_TRIM_PCT} // 100 AS k,
+         greatest(0, least(cum, n - n * {_TRIM_PCT} // 100)
+                     - greatest(cum - c, n * {_TRIM_PCT} // 100)) AS kept
+  FROM cum
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(k) AS BIGINT) AS k_trim,
+       CAST(sum(kept) AS BIGINT) AS kept_n,
+       CAST(sum(n_chars * kept) * 100 // sum(kept) AS BIGINT)
+         AS trimmed_mean_x100
+FROM kept GROUP BY lang
+"""
+
+
+_MORTON_BITS = 16
+
+
+def _morton_interleave_sql(a: str, b: str) -> str:
+    """Bit-interleave two 16-bit values (a's bits at even positions) as a
+    sum of shifted masked bits — pure integer codegen, identical text in
+    Spark SQL and DuckDB."""
+    terms = []
+    for i in range(_MORTON_BITS):
+        terms.append(f"((({a}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({b}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def q_morton_layout_keys(spark, sf):
+    """Z-order (Morton) layout keys for two-dimensional data skipping —
+    the multi-column generalization of the SURT 1-d sort: interleaving
+    the bits of (host-hash, capture-minute) gives a single sort key
+    under which BOTH a host-range scan and a time-range scan touch
+    O(range) contiguous key blocks, so parquet min/max pruning works for
+    either predicate from ONE layout (the Delta/Iceberg OPTIMIZE ZORDER
+    rationale, reimplemented as a pure column expression). The
+    interleave is 32 mask-shift-multiply terms inside one codegen span —
+    no UDF, engine-identical text in both SQL dialects; the query
+    reports per-key-block occupancy (top 12 bits) to show the key space
+    spreads hosts and time jointly. At write time the table would be
+    repartitionByRange(morton_key) — the SURT layout path with this key
+    swapped in."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf)
+    dims = pages.select(
+        (F.pmod(_h60(F.regexp_extract("url", r"^https?://([^/]+)", 1)),
+                F.lit(1 << _MORTON_BITS))).alias("hx"),
+        F.pmod(
+            F.floor(
+                F.expr(
+                    "timestampdiff(MINUTE,"
+                    " TIMESTAMP_NTZ '2023-06-01 00:00:00', warc_ts)"
+                )
+            ),
+            F.lit(1 << _MORTON_BITS),
+        ).alias("tx"),
+    )
+    keyed = dims.select(
+        F.expr(_morton_interleave_sql("hx", "tx")).alias("mkey")
+    )
+    return (
+        keyed.select(F.expr("mkey div 1048576").alias("block"))
+        .groupBy("block")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .select(F.col("block").cast("bigint").alias("block"), "n_rows")
+    )
+
+
+_MORTON_HX = (
+    H60_SQL.format(x="regexp_extract(url, '^https?://([^/]+)', 1)")
+    + f" % {1 << _MORTON_BITS}"
+)
+_MORTON_TX = (
+    "CAST(floor(date_diff('minute', TIMESTAMP '2023-06-01 00:00:00',"
+    f" warc_ts)) AS BIGINT) % {1 << _MORTON_BITS}"
+)
+
+ORACLE_MORTON = f"""
+WITH dims AS (
+  SELECT {_MORTON_HX} AS hx, {_MORTON_TX} AS tx
+  {_PAGES_SRC}
+), keyed AS (
+  SELECT {_morton_interleave_sql("hx", "tx")} AS mkey FROM dims
+)
+SELECT CAST(mkey // 1048576 AS BIGINT) AS block,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM keyed GROUP BY 1
+"""
+
+
+WEB_QUERIES_P: dict[str, QuerySpec] = {
+    "trimmed_mean_length": QuerySpec(
+        q_trimmed_mean_length, ORACLE_TRIMMED_MEAN
+    ),
+    "morton_layout_keys": QuerySpec(q_morton_layout_keys, ORACLE_MORTON),
+}
+EXT_QUERIES.update(WEB_QUERIES_P)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
