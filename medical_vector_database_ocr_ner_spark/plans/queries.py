@@ -1433,12 +1433,12 @@ DRIVER_PRIORITY: list[str] = [
     "lang_source_pivot",
     "event_funnel",
     # tier 2d — wave E/F entries green only in r3 — second confirmation.
-    # Waves J-N added 14 tier-1 entries, moving the 50-row cut up: it
-    # now falls after doc_stats_panel (slot 50), so lang_source_pivot,
-    # event_funnel, all of tier 2d/2e, and the anchors below sit outside
-    # the window this round (all r1/r2/r3-green — union-of-rounds
-    # coverage holds; hash verification of never-checked queries
-    # outranks second confirmations).
+    # Every wave J-P entry goes in at tier 1, moving the 50-row cut up
+    # each time; whatever tier-2 entries it displaces are all
+    # r1/r2/r3-green (union-of-rounds coverage holds — hash verification
+    # of never-checked queries outranks second confirmations). With 19
+    # round-4 additions the cut falls inside tier 2c around user_sessions;
+    # everything below stays covered by the local gate + pytest.
     "gopher_quality_flags",
     "host_stats_salted",
     "rare_token_fraction",
