@@ -250,6 +250,52 @@ SELECTED = [
      "each of the 3 BFS relaxations is one join + one min-agg over the "
      "O(hosts) graph — InMemoryTableScans, plan and lineage independent "
      "of the iteration count."),
+    ("grouping_sets_panel",
+     "All four groupings through ONE Expand feeding a partial+final "
+     "HashAggregate — one corpus scan, one Exchange, where four GROUP "
+     "BYs would pay 4× each."),
+    ("partition_checksums",
+     "partial_bit_xor per input partition, one Exchange carrying ≤64 "
+     "bucket rows at any corpus size — the whole-table fingerprint "
+     "merges map-side like a sketch."),
+    ("pit_snapshot_lookup",
+     "The PIT read adds NOTHING on top of the history build: a Filter "
+     "above the SCD2 windows — disjoint half-open intervals make the "
+     "≤1-row-per-url guarantee free, no extra window, no join."),
+    ("epoch_shuffle_assign",
+     "The 512-row (shard, salt) offset table is a broadcast; the rank "
+     "Window partitions on (shard, salt) so every reducer orders "
+     "1/512th of the corpus — a reproducible global permutation with "
+     "no global sort anywhere."),
+    ("session_window_stats",
+     "The built-in session window: one Exchange on user_id, the "
+     "data-driven merge inside the engine's window operator (state "
+     "RocksDB-able on a stream); integer-exact value sums keep the "
+     "plan hash-comparable across engines."),
+    ("cdc_chunk_dedup",
+     "Content-defined chunking: posexplode → per-doc cumsum Window "
+     "(per-doc partitions, tiny at any scale) → sort_array/collect_list "
+     "chunk rebuild → md5 → one distinct-agg per language; summary "
+     "output is languages-sized."),
+    ("etld1_registrable",
+     "Longest-match public-suffix: TWO BroadcastHashJoins (last-1 and "
+     "last-2 label candidates) against the constant-size suffix table; "
+     "label slicing is per-row codegen — no explode of the label list, "
+     "the corpus shuffles only for the registrable-domain rollup."),
+    ("host_triangle_count",
+     "Degree-ordered orientation before the wedge join: fan-out per "
+     "vertex bounded by oriented out-degree O(√m); wedges close via a "
+     "LeftSemi against the oriented edge set — three joins, all over "
+     "the O(hosts) relation, pages touched once."),
+    ("trimmed_mean_length",
+     "Counts per (lang, n_chars) — bounded by DISTINCT lengths — then "
+     "cumsum + interval arithmetic on that table; no per-language sort "
+     "of documents exists anywhere in the plan."),
+    ("morton_layout_keys",
+     "The 32-term bit-interleave is ONE codegen Project over the scan "
+     "(no UDF, no join); the only Exchange carries key-block counts. "
+     "Write path: repartitionByRange(morton_key) — the SURT layout with "
+     "the 2-d key swapped in."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
