@@ -5924,6 +5924,109 @@ WEB_QUERIES_P: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_P)
 
 
+# === webtext wave Q (round 4, continued): evaluation metrics — the
+# category every production pipeline reports but few query engines
+# treat as first-class ===
+
+
+def q_ivf_recall_at_k(spark, sf):
+    """Recall@10 of the IVF index against the brute-force ground truth —
+    THE metric every ANN system reports (how much accuracy the nprobe=4
+    shortcut trades for its 2× candidate-set reduction). Composes the
+    two existing ANN paths: q_ann_topk_cosine (exact, one corpus scan,
+    TakeOrderedAndProject) is the truth set, q_ivf_topk (probes 4 of 8
+    partitions) the approximation; recall = |truth ∩ approx| / k as an
+    integer percentage. Both sides are k-row relations, so the eval join
+    costs nothing beyond the searches themselves — at production scale
+    this runs over a HELD-OUT query sample and the same composition
+    shape aggregates per-query recalls."""
+    from .queries import q_ann_topk_cosine, q_ivf_topk
+
+    truth = q_ann_topk_cosine(spark, sf).select("vec_id")
+    approx = q_ivf_topk(spark, sf).select("vec_id")
+    inter = truth.join(approx, "vec_id")
+    return inter.agg(F.count("*").alias("n_overlap")).select(
+        F.lit(10).cast("bigint").alias("k"),
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        F.expr("n_overlap * 100 div 10").cast("bigint").alias(
+            "recall_pct"
+        ),
+    )
+
+
+def _oracle_ivf_recall() -> str:
+    from .queries import ORACLE_ANN, ORACLE_IVF
+
+    return f"""
+WITH truth AS ({ORACLE_ANN}), approx AS ({ORACLE_IVF})
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 100 // 10 AS BIGINT) AS recall_pct
+FROM truth JOIN approx USING (vec_id)
+"""
+
+
+def q_lang_id_confusion(spark, sf):
+    """Confusion matrix of the stopword lang-id heuristic against the
+    labeled lang column — the evaluation table a model-driven pipeline
+    ships next to every classifier (precision/recall per class fall out
+    of these cells; the unit test derives them). The prediction rule is
+    the integer cross-multiplied form of lang_id_heuristic's threshold
+    (en if stopword_count * 100 >= token_count * 5) so no float division
+    or rounding enters the hash. One pass over the exploded token
+    stream (doc-keyed conditional agg), then a cells-sized rollup —
+    the confusion matrix is |classes|² rows at any corpus size."""
+    from .queries import STOPS
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("tok").isin(*STOPS), 1).otherwise(0)).alias(
+            "stops"
+        ),
+    )
+    pred = per_doc.withColumn(
+        "predicted_lang",
+        F.when(F.expr("stops * 100 >= n * 5"), F.lit("en")).otherwise(
+            F.lit("unknown")
+        ),
+    )
+    return pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+def _oracle_lang_confusion() -> str:
+    from .queries import _STOPS_SQL
+
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, lang, count(*) AS n,
+         sum(CASE WHEN tok IN ({_STOPS_SQL}) THEN 1 ELSE 0 END) AS stops
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id, lang
+)
+SELECT lang,
+       CASE WHEN stops * 100 >= n * 5 THEN 'en' ELSE 'unknown' END
+         AS predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY 1, 2
+"""
+
+
+WEB_QUERIES_Q: dict[str, QuerySpec] = {
+    "ivf_recall_at_k": QuerySpec(q_ivf_recall_at_k, _oracle_ivf_recall()),
+    "lang_id_confusion": QuerySpec(
+        q_lang_id_confusion, _oracle_lang_confusion()
+    ),
+}
+EXT_QUERIES.update(WEB_QUERIES_Q)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
