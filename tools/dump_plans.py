@@ -296,6 +296,14 @@ SELECTED = [
      "(no UDF, no join); the only Exchange carries key-block counts. "
      "Write path: repartitionByRange(morton_key) — the SURT layout with "
      "the 2-d key swapped in."),
+    ("ivf_recall_at_k",
+     "Both searches end in TakeOrderedAndProject k-row relations; the "
+     "eval join and count are free on top — recall measurement adds no "
+     "corpus-scale topology to the searches it grades."),
+    ("lang_id_confusion",
+     "One doc-keyed conditional agg over the exploded token stream "
+     "(partial map-side), then a classes²-row rollup — the confusion "
+     "matrix costs one corpus pass regardless of class count."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
