@@ -1358,6 +1358,8 @@ _load_ext()
 DRIVER_PRIORITY: list[str] = [
     # ---- round-4 window ----
     # tier 1 — new in round 4 / never driver-checked in any round (r1-r3)
+    "unpivot_doc_stats",
+    "outer_explode_audit",
     "ivf_recall_at_k",
     "lang_id_confusion",
     "trimmed_mean_length",

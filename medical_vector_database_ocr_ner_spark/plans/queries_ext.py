@@ -6027,6 +6027,112 @@ WEB_QUERIES_Q: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_Q)
 
 
+# === webtext wave R (round 4, continued): unpivot/melt, outer-explode
+# null preservation ===
+
+
+def q_unpivot_doc_stats(spark, sf):
+    """Wide→long reshape via the native unpivot (melt) operator — the
+    inverse of lang_source_pivot and the export shape metrics dashboards
+    ingest (one (entity, metric, value) row per cell). Spark's
+    DataFrame.unpivot compiles to a single Expand over the aggregated
+    wide relation (one output row per id×metric, NO join, NO union of N
+    selects — a UNION ALL form would re-scan the input per metric).
+    The wide input here is a per-language stats panel, so the Expand
+    multiplies a languages-sized relation; metrics are integer-exact
+    (counts, sums, the trimmed-mean discipline)."""
+    docs = _t(spark, sf, "documents")
+    wide = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    return wide.unpivot(
+        ids=["lang"],
+        values=["n_docs", "sum_chars", "max_chars", "n_sources"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM documents GROUP BY lang
+)
+SELECT lang, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_docs, sum_chars, max_chars, n_sources))
+"""
+
+
+def q_outer_explode_audit(spark, sf):
+    """explode_outer null-preservation semantics, pinned: a plain
+    explode DROPS rows whose array is empty or NULL — at corpus scale
+    that silently deletes every document the tokenizer produced nothing
+    for, and the loss is invisible downstream (counts just come up
+    short). The audit synthesizes the hazard (every 7th doc's token
+    array is emptied — the latest_snapshot in-query synthesis pattern),
+    runs the OUTER explode, and proves conservation: every doc
+    contributes ≥1 row, empty docs surface as an explicit NULL token
+    row, and the per-language doc counts reconcile exactly with the
+    source table. The inner/outer delta is the per-language count of
+    silently-droppable docs — the number a pipeline should alert on."""
+    docs = _t(spark, sf, "documents")
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN CAST(array() AS array<string>)"
+            " ELSE split(text, ' ') END"
+        ).alias("toks"),
+    )
+    exploded = toked.select(
+        "doc_id", "lang", F.explode_outer("toks").alias("tok")
+    )
+    return (
+        exploded.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_empty_docs"),
+            F.count("tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_OUTER_EXPLODE = """
+WITH toked AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0 THEN []
+              ELSE string_split(text, ' ') END AS toks
+  FROM documents
+), exploded AS (
+  SELECT doc_id, lang, u.tok
+  FROM toked LEFT JOIN LATERAL unnest(toks) AS u(tok) ON true
+)
+SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty_docs,
+       CAST(count(tok) AS BIGINT) AS n_tokens
+FROM exploded GROUP BY lang
+"""
+
+
+WEB_QUERIES_R: dict[str, QuerySpec] = {
+    "unpivot_doc_stats": QuerySpec(q_unpivot_doc_stats, ORACLE_UNPIVOT),
+    "outer_explode_audit": QuerySpec(
+        q_outer_explode_audit, ORACLE_OUTER_EXPLODE
+    ),
+}
+EXT_QUERIES.update(WEB_QUERIES_R)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
