@@ -515,3 +515,95 @@ class TestBuiltinSessionWindow:
             for r in want.collect()
         }
         assert builtin <= stateful  # every built-in session, same bounds
+
+
+class TestStreamStreamIntervalJoin:
+    """Watermarked stream-stream interval join (streaming/stream_join.py):
+    stream == batch == python recount; inner matches are final on
+    emission, no watermark flush needed."""
+
+    SCHEMA = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+    def _events(self, spark):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1, 9, 0, 0)
+
+        def ev(eid, user, minutes, etype):
+            return (eid, base + timedelta(minutes=minutes), user, etype,
+                    0.0)
+
+        # user 1: error at 10; clicks at 9 (before: OUT), 10 (boundary:
+        # IN), 19 (IN), 20 (exactly +10min: OUT, half-open)
+        # user 2: error at 0 with no clicks in range; click at 30 (OUT)
+        # user 1: second error at 15 — overlapping windows both match 19
+        rows = [ev(1, 1, 10, "error"), ev(2, 1, 9, "click"),
+                ev(3, 1, 10, "click"), ev(4, 1, 19, "click"),
+                ev(5, 1, 20, "click"), ev(6, 2, 0, "error"),
+                ev(7, 2, 30, "click"), ev(8, 1, 15, "error")]
+        return rows
+
+    def test_stream_matches_batch_matches_recount(self, spark,
+                                                  tmpdir_clean):
+        from datetime import timedelta
+
+        from medical_vector_database_ocr_ner_spark.streaming.stream_join import (
+            interval_join, run_interval_join_stream,
+        )
+
+        rows = self._events(spark)
+        src = os.path.join(tmpdir_clean, "sj_src")
+        out = os.path.join(tmpdir_clean, "sj_out")
+        ckpt = os.path.join(tmpdir_clean, "sj_ckpt")
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+
+        q = run_interval_join_stream(spark, src, ckpt, out)
+        q.awaitTermination(120)
+        got = {
+            (r["err_id"], r["evt_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+        # python recount: the join semantics from first principles.
+        # NOTE the error event itself is an event — it self-matches at
+        # evt_ts == err_ts (the streaming dedup of self-matches is a
+        # POLICY choice; the operator reports the raw interval join)
+        expected = set()
+        for eid, ets, eu, etype, _ in rows:
+            if etype != "error":
+                continue
+            for cid, cts, cu, _, _ in rows:
+                if cu == eu and ets <= cts < ets + timedelta(minutes=10):
+                    expected.add((eid, cid))
+        assert got == expected
+        # the designed cases: boundary inclusion/exclusion + overlap
+        assert (1, 3) in got and (1, 4) in got      # 10 and 19 in
+        assert (1, 2) not in got and (1, 5) not in got  # 9 and 20 out
+        assert (8, 4) in got                         # overlapping window
+        assert not any(e == 6 and c == 7 for e, c in got)
+
+        # batch twin: THE SAME function on static frames
+        batch = interval_join(
+            df.where("event_type = 'error'"), df
+        )
+        assert {
+            (r["err_id"], r["evt_id"]) for r in batch.collect()
+        } == expected
+
+    def test_streaming_state_requires_interval_bound(self, spark):
+        # the join condition carries the time bound — assert the
+        # streaming plan builds (watermark + interval => bounded state);
+        # an unbounded equality-only stream-stream join is the anti-
+        # pattern this module's API shape prevents
+        from medical_vector_database_ocr_ner_spark.streaming.stream_join import (
+            interval_join,
+        )
+
+        # static-plan sanity only: the interval predicate is part of the
+        # join condition (visible in the analyzed plan), not a post-filter
+        df = spark.createDataFrame(self._events(spark), self.SCHEMA)
+        j = interval_join(df.where("event_type='error'"), df)
+        plan = j._jdf.queryExecution().analyzed().toString()
+        assert "evt_ts" in plan and "err_ts" in plan
