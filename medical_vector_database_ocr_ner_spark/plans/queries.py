@@ -1358,6 +1358,7 @@ _load_ext()
 DRIVER_PRIORITY: list[str] = [
     # ---- round-4 window ----
     # tier 1 — new in round 4 / never driver-checked in any round (r1-r3)
+    "curation_funnel",
     "unpivot_doc_stats",
     "outer_explode_audit",
     "ivf_recall_at_k",

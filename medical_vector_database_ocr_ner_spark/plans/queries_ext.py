@@ -6133,6 +6133,111 @@ WEB_QUERIES_R: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_R)
 
 
+# === webtext wave U (round 4, capstone): the curation funnel ===
+
+
+def q_curation_funnel(spark, sf):
+    """The curation funnel — per-language survival counts through the
+    sequential gates every training-data team tracks (the single
+    relation that answers 'where did my corpus go?'): length bounds
+    (Gopher-style 50..100k chars), quality (stopword ratio ≥ 2%, the
+    lang-id threshold reused as a quality floor), exact dedup
+    (first-occurrence keeper by content hash — min doc_id per
+    md5(lower(text)), the exact_dedup_keeper rule). Gates are CUMULATIVE
+    (a doc must pass all earlier stages to be counted at a later one),
+    matching how a real pipeline stacks filters, so the columns are
+    monotonically non-increasing (pinned by test). Plan shape: stage
+    flags are one pass of codegen + one token-keyed agg for the
+    stopword count; the dedup keeper is one content-hash agg whose
+    FIRST-over-survivors semantics reuses the min-keyed join-back
+    pattern; the funnel itself is a languages-sized rollup."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    from .queries import STOPS
+
+    tstats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.sum(F.when(F.col("tok").isin(*STOPS), 1).otherwise(0)).alias(
+            "stops"
+        ),
+    )
+    staged = (
+        docs.join(tstats, "doc_id")
+        .withColumn(
+            "pass_len",
+            (F.col("n_chars") >= 50) & (F.col("n_chars") <= 100_000),
+        )
+        .withColumn(
+            "pass_quality",
+            F.col("pass_len") & F.expr("stops * 100 >= n_toks * 2"),
+        )
+        .withColumn("ck", F.md5(F.lower("text")))
+    )
+    keepers = (
+        staged.where(F.col("pass_quality"))
+        .groupBy("ck")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    final = staged.join(
+        keepers,
+        (staged.ck == keepers.ck) & (staged.doc_id == keepers.keeper_id),
+        "left",
+    ).withColumn("pass_dedup", F.col("keeper_id").isNotNull())
+    return final.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.col("pass_len").cast("int")).cast("bigint").alias(
+            "n_after_length"
+        ),
+        F.sum(F.col("pass_quality").cast("int")).cast("bigint").alias(
+            "n_after_quality"
+        ),
+        F.sum(F.col("pass_dedup").cast("int")).cast("bigint").alias(
+            "n_after_dedup"
+        ),
+    )
+
+
+def _oracle_funnel() -> str:
+    from .queries import _STOPS_SQL
+
+    return f"""
+WITH tstats AS (
+  SELECT doc_id, count(*) AS n_toks,
+         sum(CASE WHEN tok IN ({_STOPS_SQL}) THEN 1 ELSE 0 END) AS stops
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id
+), staged AS (
+  SELECT d.doc_id, d.lang, md5(lower(d.text)) AS ck,
+         d.n_chars BETWEEN 50 AND 100000 AS pass_len,
+         (d.n_chars BETWEEN 50 AND 100000)
+           AND t.stops * 100 >= t.n_toks * 2 AS pass_quality
+  FROM documents d JOIN tstats t USING (doc_id)
+), keepers AS (
+  SELECT ck, min(doc_id) AS keeper_id FROM staged
+  WHERE pass_quality GROUP BY ck
+)
+SELECT s.lang, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN s.pass_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_length,
+       CAST(sum(CASE WHEN s.pass_quality THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_quality,
+       CAST(sum(CASE WHEN k.keeper_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_dedup
+FROM staged s
+LEFT JOIN keepers k ON k.ck = s.ck AND k.keeper_id = s.doc_id
+GROUP BY s.lang
+"""
+
+
+WEB_QUERIES_U: dict[str, QuerySpec] = {
+    "curation_funnel": QuerySpec(q_curation_funnel, _oracle_funnel()),
+}
+EXT_QUERIES.update(WEB_QUERIES_U)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path
