@@ -304,6 +304,16 @@ SELECTED = [
      "One doc-keyed conditional agg over the exploded token stream "
      "(partial map-side), then a classes²-row rollup — the confusion "
      "matrix costs one corpus pass regardless of class count."),
+    ("unpivot_doc_stats",
+     "Wide→long through ONE Expand over the aggregated wide relation — "
+     "a single scan where the hand-written UNION ALL form re-scans per "
+     "metric (Expand-not-Union pinned in tests)."),
+    ("curation_funnel",
+     "Stage flags in one codegen pass + one token-keyed agg; the dedup "
+     "keeper is a content-hash min-agg over quality survivors joined "
+     "back by (ck, doc_id); the funnel rollup is languages-sized. The "
+     "whole 'where did my corpus go?' report costs two corpus passes "
+     "(doc scan + token agg) at any scale."),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
