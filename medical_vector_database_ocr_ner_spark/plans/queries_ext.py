@@ -642,27 +642,30 @@ FROM ranked WHERE rk = 1
 # engines and flip rows sitting exactly on the mean (the same
 # ties-at-the-boundary hazard quality_bp avoids with integer basis
 # points).
-ORACLE_ABOVE_AVG = """
+_ABOVE_AVG_SQL_T = """
 SELECT o_orderpriority,
        count(*) AS n_above_avg,
        round(sum(o_totalprice), 4) AS total_above
-FROM orders o
+FROM {table} o
 WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
-      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      (SELECT count(*) FROM {table} o2 WHERE o2.o_custkey = o.o_custkey)
     > (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
-       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+       FROM {table} o2 WHERE o2.o_custkey = o.o_custkey)
 GROUP BY o_orderpriority
 """
+
+ORACLE_ABOVE_AVG = _ABOVE_AVG_SQL_T.format(table="orders")
 
 
 def q_above_avg_orders_sql(spark, sf):
     """SQL-API + correlated scalar subqueries: orders strictly above their
     customer's average order value. Catalyst DECORRELATES both per-row
     subqueries into aggregates + joins (no per-row re-execution) — the
-    exact SQL string a reference user would write (and that the DuckDB
-    oracle runs) executes unchanged on this engine."""
-    _t(spark, sf, "orders").createOrReplaceTempView("orders")
-    return spark.sql(ORACLE_ABOVE_AVG)
+    SQL a reference user would write executes unchanged on this engine,
+    modulo a QUERY-SCOPED view name (aao_orders) so a read-only query
+    never clobbers a pre-existing session view named 'orders'."""
+    _t(spark, sf, "orders").createOrReplaceTempView("aao_orders")
+    return spark.sql(_ABOVE_AVG_SQL_T.format(table="aao_orders"))
 
 
 # === multimodal =============================================================
@@ -5164,14 +5167,16 @@ EXT_QUERIES.update(WEB_QUERIES_K)
 # partition checksums ===
 
 
-ORACLE_GROUPING_SETS = """
+_GROUPING_SETS_SQL_T = """
 SELECT coalesce(lang, 'ALL') AS lang_g,
        coalesce(source, 'ALL') AS source_g,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents
+FROM {table}
 GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
 """
+
+ORACLE_GROUPING_SETS = _GROUPING_SETS_SQL_T.format(table="documents")
 
 
 def q_grouping_sets_panel(spark, sf):
@@ -5183,11 +5188,12 @@ def q_grouping_sets_panel(spark, sf):
     HashAggregate — one corpus scan and one shuffle for the whole panel,
     where four separate GROUP BYs would scan and shuffle four times.
     NULL group keys from Expand are relabeled 'ALL' (the fixture's lang/
-    source are never null, so the label is unambiguous). The SQL string
-    is the exact text a reference user would write; it runs unchanged on
-    both engines (above_avg_orders_sql pattern)."""
-    _t(spark, sf, "documents").createOrReplaceTempView("documents")
-    return spark.sql(ORACLE_GROUPING_SETS)
+    source are never null, so the label is unambiguous). The SQL text is
+    identical on both engines except the view name: the Spark side
+    registers a QUERY-SCOPED view (gsp_documents) so a read-only query
+    never clobbers a pre-existing session view named 'documents'."""
+    _t(spark, sf, "documents").createOrReplaceTempView("gsp_documents")
+    return spark.sql(_GROUPING_SETS_SQL_T.format(table="gsp_documents"))
 
 
 _PCHK_BUCKETS = 64
@@ -6236,6 +6242,149 @@ WEB_QUERIES_U: dict[str, QuerySpec] = {
     "curation_funnel": QuerySpec(q_curation_funnel, _oracle_funnel()),
 }
 EXT_QUERIES.update(WEB_QUERIES_U)
+
+
+# === webtext wave V (round 5): driver-verify the custom Python DataSource,
+# and the nprobe/recall tuning sweep every IVF deployment publishes ===
+
+
+_PGP_N = 2000
+_PGP_SEED = 42
+
+
+def q_pages_gen_probe(spark, sf):
+    """Aggregate probe THROUGH the custom Python DataSource
+    (sources/pygen.py, `spark.read.format("pages_gen")`) — the one
+    connector surface that previously had only pytest evidence; this row
+    makes the driver exercise the full Spark 4 DataSource machinery
+    (schema() -> partitions() -> parallel read()) end to end. Per-lang
+    page counts, distinct hosts, total payload bytes and min url over
+    n=2000 generated pages across 8 range partitions. Deliberately
+    sf-independent (the source is synthetic; same idiom as
+    multimodal_image_features): the verified property is that the
+    connector's parallel, re-readable generation matches the
+    construction spec exactly — the oracle re-derives every expected
+    cell from the pure `_row(seed, i)` function WITHOUT going through
+    Spark, so a partition-boundary bug, a dropped/duplicated range, or
+    a schema drift in the reader all hash-mismatch."""
+    from ..sources import pygen
+
+    pygen.register(spark)
+    df = (
+        spark.read.format(pygen.FORMAT_NAME)
+        .option("n", _PGP_N)
+        .option("seed", _PGP_SEED)
+        .option("numPartitions", 8)
+        .load()
+    )
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    return df.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.countDistinct(host).cast("bigint").alias("n_hosts"),
+        F.sum(F.length("html")).cast("bigint").alias("sum_html_bytes"),
+        F.min("url").alias("min_url"),
+    )
+
+
+def _oracle_pages_gen() -> str:
+    """Construction-spec oracle: replay the generator's pure row function
+    in plain Python (no Spark, no connector) and emit the expected
+    per-lang aggregate as literal VALUES."""
+    from ..sources.pygen import _row
+
+    acc: dict[str, dict] = {}
+    for i in range(_PGP_N):
+        url, _ts, html, lang = _row(_PGP_SEED, i)
+        a = acc.setdefault(
+            lang, {"n": 0, "hosts": set(), "b": 0, "min_url": url}
+        )
+        a["n"] += 1
+        a["hosts"].add(url.split("/")[2])
+        a["b"] += len(html)
+        a["min_url"] = min(a["min_url"], url)
+    rows = ",\n  ".join(
+        f"('{lang}', CAST({a['n']} AS BIGINT), CAST({len(a['hosts'])} AS BIGINT),"
+        f" CAST({a['b']} AS BIGINT), '{a['min_url']}')"
+        for lang, a in sorted(acc.items())
+    )
+    return (
+        "SELECT * FROM (VALUES\n  " + rows +
+        ") t(lang, n_pages, n_hosts, sum_html_bytes, min_url)"
+    )
+
+
+_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def q_ivf_nprobe_sweep(spark, sf):
+    """The nprobe/recall tuning curve — the table every IVF deployment
+    publishes before picking its operating point (recall@10 vs fraction
+    of the corpus probed). Composes ivf_recall_at_k over nprobe ∈
+    {1,2,4,8} against ONE shared index and ONE brute-force truth set:
+    the assignment table is built (and cached) once, each sweep point
+    reads only nprobe/8 of it via the centroid partition filter, and
+    the eval joins are k-row relations, so the whole sweep costs ~the
+    brute-force pass plus Σ nprobe/8 index reads. nprobe=8 probes every
+    partition, so its recall is 100% by construction (pinned in pytest
+    along with monotonicity in nprobe). At 10^12 vectors the same shape
+    runs over a held-out query sample with the assignment table
+    materialized partition-pruned (IvfIndex.materialize)."""
+    from ..operators.similarity import IvfIndex
+    from .queries import q_ann_topk_cosine
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    idx = IvfIndex(emb, n_centroids=8)
+    truth = q_ann_topk_cosine(spark, sf).select("vec_id")
+    out = None
+    for p in _NPROBE_SWEEP:
+        res = idx.search(qvec, k=10, nprobe=p).select("vec_id")
+        r = (
+            res.join(truth, "vec_id")
+            .agg(F.count("*").alias("n_overlap"))
+            .select(
+                F.lit(p).cast("bigint").alias("nprobe"),
+                F.lit(10).cast("bigint").alias("k"),
+                F.col("n_overlap").cast("bigint").alias("n_overlap"),
+                F.expr("n_overlap * 100 div 10").cast("bigint").alias(
+                    "recall_pct"
+                ),
+            )
+        )
+        out = r if out is None else out.unionAll(r)
+    return out
+
+
+def _oracle_nprobe_sweep() -> str:
+    from .queries import ORACLE_ANN, ORACLE_IVF
+
+    probe_limit = "ORDER BY d DESC, cid ASC LIMIT 4"
+    assert ORACLE_IVF.count(probe_limit) == 1, "IVF probe LIMIT moved"
+    parts = []
+    for p in _NPROBE_SWEEP:
+        ivf = ORACLE_IVF.replace(
+            probe_limit, f"ORDER BY d DESC, cid ASC LIMIT {p}"
+        )
+        parts.append(f"""
+SELECT CAST({p} AS BIGINT) AS nprobe, CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 100 // 10 AS BIGINT) AS recall_pct
+FROM ({ivf}) approx JOIN truth USING (vec_id)""")
+    return (
+        f"WITH truth AS ({ORACLE_ANN})\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+WEB_QUERIES_V: dict[str, QuerySpec] = {
+    "pages_gen_probe": QuerySpec(q_pages_gen_probe, _oracle_pages_gen()),
+    "ivf_nprobe_sweep": QuerySpec(
+        q_ivf_nprobe_sweep, _oracle_nprobe_sweep()
+    ),
+}
+EXT_QUERIES.update(WEB_QUERIES_V)
 
 
 # self-register: when this module is imported FIRST, queries.py's

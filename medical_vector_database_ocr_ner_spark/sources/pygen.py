@@ -8,8 +8,8 @@ production crawler-side deployment also reads from NON-FILE sources
 Python DataSource API is the sanctioned way to mount those without a
 JVM connector, and this module exercises the full surface:
 
-- `schema()` declares the page shape (url, warc_ts, html) — the same
-  columns the parquet fixture carries, so everything downstream of
+- `schema()` declares the page shape (url, warc_ts, html, lang) — the
+  same columns the parquet fixture carries, so everything downstream of
   `spark.read` is source-agnostic.
 - `partitions()` splits the keyspace into `numPartitions` contiguous
   id ranges — the reader is PARALLEL across executors, each partition
@@ -78,6 +78,11 @@ class PagesGenReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", 8))
 
     def partitions(self):
+        if self.n <= 0:
+            # the planner rejects an empty partition list at read time —
+            # an n=0 read is a valid (empty) relation, so hand it one
+            # empty range instead
+            return [_RangePartition(0, 0, self.seed)]
         step = max(1, -(-self.n // self.num_partitions))  # ceil div
         return [
             _RangePartition(lo, min(lo + step, self.n), self.seed)

@@ -34,16 +34,25 @@ WINDOW = "10 minutes"
 WATERMARK = "1 hour"
 
 
-def interval_join(
-    errors: "DataFrame",
-    events: "DataFrame",
-    window: str = WINDOW,
-    watermark: str = WATERMARK,
-) -> "DataFrame":
-    """(err_id, evt_id, user_id, err_ts, evt_ts) for every same-user
-    event inside [err_ts, err_ts + window). Works on static and
-    streaming inputs; on streams both sides carry watermarks and the
-    interval condition bounds the join state."""
+def _require_bounds(window: str, watermark: str) -> None:
+    """The docstring's 'refuses to build without an eviction bound' is
+    enforced here, not just asserted in prose: an empty/blank window or
+    watermark would silently produce an unbounded-state stream-stream
+    join (Spark warns once, then buffers both sides forever)."""
+    if not (window and str(window).strip()):
+        raise ValueError(
+            "interval_join requires a non-empty time window — without the "
+            "interval predicate the join state is unbounded"
+        )
+    if not (watermark and str(watermark).strip()):
+        raise ValueError(
+            "interval_join requires a non-empty watermark — without it "
+            "buffered join state is never evicted"
+        )
+
+
+def _prepare(errors, events, window, watermark):
+    _require_bounds(window, watermark)
     e = errors
     c = events
     if e.isStreaming:
@@ -65,7 +74,45 @@ def interval_join(
         & (F.col("evt_ts") >= F.col("err_ts"))
         & (F.col("evt_ts") < F.col("err_ts") + F.expr(f"INTERVAL {window}"))
     )
+    return e, c, cond
+
+
+def interval_join(
+    errors: "DataFrame",
+    events: "DataFrame",
+    window: str = WINDOW,
+    watermark: str = WATERMARK,
+) -> "DataFrame":
+    """(err_id, evt_id, user_id, err_ts, evt_ts) for every same-user
+    event inside [err_ts, err_ts + window). Works on static and
+    streaming inputs; on streams both sides carry watermarks and the
+    interval condition bounds the join state."""
+    e, c, cond = _prepare(errors, events, window, watermark)
     return e.join(c, cond).select(
+        "err_id", "evt_id", F.col("err_user").alias("user_id"),
+        "err_ts", "evt_ts",
+    )
+
+
+def interval_join_outer(
+    errors: "DataFrame",
+    events: "DataFrame",
+    window: str = WINDOW,
+    watermark: str = WATERMARK,
+) -> "DataFrame":
+    """LEFT-OUTER variant: every error row appears — matched rows emit
+    as both sides arrive (same as inner), and an error with NO same-user
+    event inside its interval emits once with null (evt_id, evt_ts).
+
+    Streaming semantics: the null row for an unmatched error can only be
+    emitted once Spark is SURE no match will arrive — i.e. when the
+    events-side watermark passes err_ts + window — so outer results
+    trail the watermark; that is the price of the null, not a bug. Both
+    sides MUST carry watermarks (Spark rejects an outer stream-stream
+    join without them); the batch twin is a plain left join and emits
+    immediately."""
+    e, c, cond = _prepare(errors, events, window, watermark)
+    return e.join(c, cond, "left_outer").select(
         "err_id", "evt_id", F.col("err_user").alias("user_id"),
         "err_ts", "evt_ts",
     )

@@ -1,0 +1,166 @@
+"""Webtext wave V (round 5): driver-facing probe through the custom
+Python DataSource, the IVF nprobe/recall sweep, the left-outer
+stream-stream interval join, and the eviction-bound guard the round-4
+VERDICT asked to make real (ADVICE r4: stream_join.py docstring claimed
+a guard that did not exist; pygen rejected n=0 reads)."""
+
+import datetime
+
+import pytest
+
+from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+    _PGP_N,
+    _PGP_SEED,
+    q_ivf_nprobe_sweep,
+    q_pages_gen_probe,
+)
+
+
+class TestPagesGenProbe:
+    def test_matches_pure_python_replay(self, spark):
+        """The probe aggregate through the full DataSource machinery
+        equals a no-Spark replay of the generator's pure row function —
+        the same construction-spec idea the DuckDB oracle uses, checked
+        here without the driver in the loop."""
+        from medical_vector_database_ocr_ner_spark.sources.pygen import _row
+
+        acc = {}
+        for i in range(_PGP_N):
+            url, _ts, html, lang = _row(_PGP_SEED, i)
+            a = acc.setdefault(
+                lang, {"n": 0, "hosts": set(), "b": 0, "min_url": url}
+            )
+            a["n"] += 1
+            a["hosts"].add(url.split("/")[2])
+            a["b"] += len(html)
+            a["min_url"] = min(a["min_url"], url)
+
+        rows = q_pages_gen_probe(spark, "unused-sf-dir").collect()
+        got = {
+            r["lang"]: (
+                r["n_pages"], r["n_hosts"], r["sum_html_bytes"], r["min_url"]
+            )
+            for r in rows
+        }
+        assert got == {
+            lang: (a["n"], len(a["hosts"]), a["b"], a["min_url"])
+            for lang, a in acc.items()
+        }
+        assert sum(v[0] for v in got.values()) == _PGP_N
+
+    def test_n_zero_read_is_valid_empty_relation(self, spark):
+        """ADVICE r4 (pygen.py:85): partitions() returned [] for n=0 and
+        the planner rejected the read. An n=0 read is a valid empty
+        relation — schema intact, zero rows."""
+        from medical_vector_database_ocr_ner_spark.sources.pygen import (
+            register,
+        )
+
+        register(spark)
+        df = (
+            spark.read.format("pages_gen")
+            .option("n", 0).option("numPartitions", 4).load()
+        )
+        assert [f.name for f in df.schema.fields] == [
+            "url", "warc_ts", "html", "lang"
+        ]
+        assert df.count() == 0
+
+
+class TestIvfNprobeSweep:
+    def test_recall_monotone_and_complete_at_full_probe(self, spark,
+                                                        sf001_dir):
+        """recall@10 is non-decreasing in nprobe, and nprobe=8 over an
+        8-centroid index probes every partition, so it must recover the
+        brute-force truth set exactly (recall 100%)."""
+        rows = sorted(
+            q_ivf_nprobe_sweep(spark, sf001_dir).collect(),
+            key=lambda r: r["nprobe"],
+        )
+        assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+        recalls = [r["recall_pct"] for r in rows]
+        assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+        assert rows[-1]["n_overlap"] == 10 and rows[-1]["recall_pct"] == 100
+        assert all(r["k"] == 10 for r in rows)
+
+
+class TestIntervalJoinOuter:
+    SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+
+    @staticmethod
+    def _ev(i, user, minute, etype):
+        return (
+            i,
+            datetime.datetime(2026, 1, 1, 0, 0) +
+            datetime.timedelta(minutes=minute),
+            user, etype, 1.0,
+        )
+
+    def _frame(self, spark):
+        ev = self._ev
+        # user 3's error at 40 has NO same-user event in [40, 50) other
+        # than itself — with events restricted to clicks it is UNMATCHED
+        rows = [ev(1, 1, 10, "error"), ev(2, 1, 9, "click"),
+                ev(3, 1, 10, "click"), ev(4, 1, 19, "click"),
+                ev(5, 1, 20, "click"), ev(6, 3, 40, "error"),
+                ev(7, 2, 41, "click")]
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_batch_outer_emits_null_for_unmatched_error(self, spark):
+        from medical_vector_database_ocr_ner_spark.streaming.stream_join import (
+            interval_join, interval_join_outer,
+        )
+
+        df = self._frame(spark)
+        errors = df.where("event_type = 'error'")
+        clicks = df.where("event_type = 'click'")
+        inner = {(r["err_id"], r["evt_id"])
+                 for r in interval_join(errors, clicks).collect()}
+        outer = [(r["err_id"], r["evt_id"])
+                 for r in interval_join_outer(errors, clicks).collect()]
+        # matched pairs identical to inner; error 6 appears exactly once
+        # with a null event side
+        assert {p for p in outer if p[1] is not None} == inner
+        assert outer.count((6, None)) == 1
+        assert (1, 3) in inner and (1, 4) in inner
+        assert (1, 2) not in inner and (1, 5) not in inner
+
+    def test_streaming_outer_plan_builds_with_watermarks(self, spark,
+                                                         tmp_path):
+        """Spark REJECTS an outer stream-stream join without watermarks
+        + an event-time bound; asserting the streaming plan analyzes
+        proves both are wired through the outer variant."""
+        import os
+
+        from medical_vector_database_ocr_ner_spark.streaming.stream_join import (
+            interval_join_outer,
+        )
+
+        src = os.path.join(str(tmp_path), "sjo_src")
+        self._frame(spark).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).parquet(src)
+        j = interval_join_outer(
+            stream.where("event_type = 'error'"),
+            stream.where("event_type = 'click'"),
+        )
+        assert j.isStreaming
+        # analysis succeeds (watermarks present on both sides) — an
+        # unwatermarked outer join fails right here at plan time
+        j._jdf.queryExecution().analyzed()
+
+    def test_refuses_to_build_without_eviction_bound(self, spark):
+        """ADVICE r4 (stream_join.py:17): the docstring promised a guard
+        that did not exist. Now it does — empty window or watermark is a
+        hard error on BOTH variants, batch and streaming alike."""
+        from medical_vector_database_ocr_ner_spark.streaming.stream_join import (
+            interval_join, interval_join_outer,
+        )
+
+        df = self._frame(spark)
+        e, c = df.where("event_type='error'"), df
+        for fn in (interval_join, interval_join_outer):
+            with pytest.raises(ValueError, match="unbounded"):
+                fn(e, c, window="")
+            with pytest.raises(ValueError, match="never evicted"):
+                fn(e, c, watermark="  ")
