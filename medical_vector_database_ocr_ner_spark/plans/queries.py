@@ -1350,105 +1350,36 @@ _load_ext()
 # (observed: CORRECTNESS_r01/r02.json each carry exactly 50 rows matching the
 # head of the registry). With >50 registry entries, ordering decides which
 # queries get a driver-verified row this round — rotate DELIBERATELY:
-#   tier 1: entries with no green driver row in any prior CORRECTNESS file;
-#   tier 2: entries green in only one prior round (second confirmation);
-#   tier 3: double-green anchors for cross-round continuity.
+#   tier 1: entries whose CURRENT source has no green driver row — never
+#           checked, or implementation changed after their last green
+#           (computed, not remembered: tools/stale_greens.py check);
+#   tier 2: single-green entries, oldest green round first (second
+#           confirmation before anchors get a third);
+#   tier 3: multi-green anchors for cross-round continuity.
 # Everything past slot 50 stays in the registry (local gate + pytest still
 # cover it) and rotates back in a later round.
 DRIVER_PRIORITY: list[str] = [
-    # ---- round-4 window ----
-    # tier 1 — new in round 4 / never driver-checked in any round (r1-r3)
-    "curation_funnel",
-    "unpivot_doc_stats",
-    "outer_explode_audit",
-    "ivf_recall_at_k",
-    "lang_id_confusion",
-    "trimmed_mean_length",
-    "morton_layout_keys",
-    "cdc_chunk_dedup",
-    "etld1_registrable",
-    "host_triangle_count",
-    "session_window_stats",
-    "pit_snapshot_lookup",
-    "epoch_shuffle_assign",
+    # ---- round-5 window ----
+    # tier 1 — stale or never-green (the tools/stale_greens.py set):
+    # outlink_frontier gained its admission gate in r4 AFTER its only
+    # (r3) green row; above_avg_orders_sql / grouping_sets_panel moved to
+    # query-scoped view names in r5; pages_gen_probe / ivf_nprobe_sweep
+    # are new in r5 (wave V)
+    "outlink_frontier",
+    "pages_gen_probe",
+    "ivf_nprobe_sweep",
+    "above_avg_orders_sql",
     "grouping_sets_panel",
-    "partition_checksums",
-    "scd2_url_history",
-    "source_mirror_detect",
-    "crawl_depth_bfs",
-    "simhash_band_pairs",
-    "length_quantile_sketch",
-    "dsir_importance_weights",
-    "rendezvous_shard_assign",
-    "pmi_bigrams",
-    "crawl_budget_allocation",
-    "tfidf_distinctive_terms",
-    "unigram_lm_doc_score",
-    "interval_overlap_join",
-    "weighted_sample",
-    "hits_hosts",
-    "image_ocr_native",
-    "cms_heavy_hitters",
-    "intra_doc_repetition",
-    "bloom_url_seen",
-    "robots_compliance",
-    # tier 1b — were err:"no_oracle" rows in r3; round 4 gives them real
-    # oracles (portable-sketch / golden-parquet), so the driver can finally
-    # hash-verify them
-    "hll_distinct_tokens",
-    "multimodal_image_features",
-    # tier 1c — driver-RED in r3 (CAST_INVALID_INPUT under the driver's
-    # ANSI session); fixed with try_cast this round — re-verify the fix
-    "latest_snapshot_per_url",
-    "url_canonical_dupes",
-    "crawl_diff",
-    # tier 2 — implementation changed in round 4, so prior green rows
-    # verified the old form: image-payload extraction branch
-    # (pages_extraction golden), vectorized embed UDF (semantic_search),
-    # try_cast hardening (domain_blocklist_filter, pagerank_hosts,
-    # url_churn_stats, span3_dedup_stats), CC convergence probe
-    # (dup_clusters, cluster_keep_best), frontier admission gate
-    # (outlink_frontier — also in tier 2d order below)
-    "pages_extraction",
-    "semantic_search",
-    "domain_blocklist_filter",
-    "pagerank_hosts",
-    "url_churn_stats",
-    "span3_dedup_stats",
-    "dup_clusters",
-    "cluster_keep_best",
-    # tier 2b — implementation changed in round 3 AFTER their green row
-    # (per round-3 closing audit): re-verify the current form
-    "chunk_dedup_docs",
-    "length_outliers_by_lang",
-    # tier 2c — single-green entries displaced from the r3 window before
-    # wave E/F landed; untouched since their green row — second
-    # confirmation
-    "embedding_quantize",
-    "events_json_extract",
-    "file_size_format",
-    "ivf_topk",
-    "quality_score",
-    "user_sessions",
-    "customers_without_orders",
-    "sliding_hour_avg",
-    "user_running_value",
-    "user_segment_setops",
-    "doc_stats_panel",
-    "lang_source_pivot",
-    "event_funnel",
-    # tier 2d — wave E/F entries green only in r3 — second confirmation.
-    # Every wave J-P entry goes in at tier 1, moving the 50-row cut up
-    # each time; whatever tier-2 entries it displaces are all
-    # r1/r2/r3-green (union-of-rounds coverage holds — hash verification
-    # of never-checked queries outranks second confirmations). With 19
-    # round-4 additions the cut falls inside tier 2c around user_sessions;
-    # everything below stays covered by the local gate + pytest.
+    # tier 2 — r3 single-greens displaced from the r4 window; the three
+    # pages-derived entries lead because the fixture moved v2→v3 after
+    # their green row
+    "page_triage_native",
+    "dom_blocks_native",
+    "surt_prefix_scan",
     "gopher_quality_flags",
     "host_stats_salted",
     "rare_token_fraction",
     "test_set_decontamination",
-    "page_triage_native",
     "pii_scrub_docs",
     "boilerplate_line_strip",
     "token_shard_packing",
@@ -1457,51 +1388,44 @@ DRIVER_PRIORITY: list[str] = [
     "sentence_dedup_global",
     "anchor_link_stats",
     "extraction_yield_by_host",
-    "surt_prefix_scan",
     "recrawl_priority",
-    "outlink_frontier",
     "url_filter_gate",
-    "dom_blocks_native",
     "politeness_audit",
-    # tier 2e — r3-first-green entries (single-green, untouched) just
-    # below / at the 50-row cut; union-of-rounds coverage holds for any
-    # that fall outside
     "ann_batch_topk",
     "pdf_page_explode",
-    # ---- below the 50-row cut: multi-green anchors + everything else ----
-    # (r1+r2 double-green or r1+r2+r3 triple-green; local gate + pytest
-    # still cover them every session)
-    "train_val_test_split",
-    "stratified_sample",
-    "props_redacted",
-    "hll_portable",
-    "edit_distance_pairs",
-    "priority_revenue_share",
+    # tier 2b — remaining r3 single-greens (untouched since their green)
     "doc_length_histogram",
-    "above_avg_orders_sql",
-    "json_metadata_quarantine",
-    "simhash16",
-    "events_minmax_by",
-    "hourly_event_stats",
-    "rollup_event_stats",
-    "embedding_near_dups",
-    "pricing_summary",
-    "knn_hydrated",
-    "ann_topk_cosine",
+    "edit_distance_pairs",
+    "hll_portable",
+    "priority_revenue_share",
+    "props_redacted",
+    "stratified_sample",
+    "train_val_test_split",
+    # tier 2c — the oldest single-greens (r1/r2) — their only driver row
+    # is 3-4 rounds old
+    "customers_without_orders",
+    "sliding_hour_avg",
+    "user_running_value",
+    "user_segment_setops",
+    "doc_stats_panel",
+    "event_funnel",
+    "events_json_extract",
+    "file_size_format",
+    "ivf_topk",
+    "lang_source_pivot",
+    "quality_score",
+    "user_sessions",
+    # tier 3 — headline anchors (bench queries + the entry() flagship):
+    # multi-green, kept in-window for cross-round continuity
+    "pages_extraction",
+    "semantic_search",
+    "dup_clusters",
     "minhash_dup_counts",
+    "knn_hydrated",
     "exact_dedup_keeper",
-    "revenue_by_nation",
-    "ngram_jaccard_pairs",
-    "asof_last_error",
-    "value_percentiles",
-    "keyword_topk",
-    "rate_limit_minutely",
-    "topk_customer_revenue",
-    "union_dedup_priority",
-    "doc_fingerprint",
-    "lang_id_heuristic",
-    "minhash_signatures",
-    "cube_lineitem",
+    # ---- below the 50-row cut: everything else ----
+    # r4 singles (verified last round) and multi-green anchors; local
+    # gate + pytest still cover all of them every session
 ]
 
 

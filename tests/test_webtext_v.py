@@ -164,3 +164,53 @@ class TestIntervalJoinOuter:
                 fn(e, c, window="")
             with pytest.raises(ValueError, match="never evicted"):
                 fn(e, c, watermark="  ")
+
+
+class TestStaleGreens:
+    """tools/stale_greens.py — staleness is computed, not remembered
+    (round-4 VERDICT #2)."""
+
+    def test_stale_set_sits_in_driver_window(self):
+        """Every registry entry whose current (source, oracle)
+        fingerprint has no driver-green record must be inside the
+        50-row driver window, so the next correctness run re-verifies
+        it. This pins the rotation to the tool's output: editing a
+        green query without rotating it in fails here."""
+        import sys
+
+        sys.path.insert(0, ".")
+        from medical_vector_database_ocr_ner_spark.plans.queries import (
+            DRIVER_PRIORITY,
+        )
+        from tools.stale_greens import fingerprints, load_record
+
+        fps = fingerprints()
+        rec = load_record()
+        needs_row = {
+            n for n in fps
+            if n not in rec or rec[n]["hash"] != fps[n]
+        }
+        window = set(DRIVER_PRIORITY[:50])
+        assert needs_row <= window, (
+            f"stale/never-green entries outside the driver window: "
+            f"{sorted(needs_row - window)}"
+        )
+
+    def test_fingerprint_is_path_independent(self):
+        """The fingerprint must not move with the checkout location —
+        golden-parquet oracles embed an absolute path at import time
+        and the tool normalizes it."""
+        from tools.stale_greens import fingerprints
+
+        from medical_vector_database_ocr_ner_spark.plans.queries import (
+            QUERIES,
+        )
+
+        fps = fingerprints()
+        golden_backed = [
+            n for n, s in QUERIES.items()
+            if s.oracle and "read_parquet" in s.oracle
+        ]
+        assert golden_backed, "expected golden-parquet oracles"
+        for n in golden_backed:
+            assert "/root/repo" not in str(fps[n])  # hash, not a path
