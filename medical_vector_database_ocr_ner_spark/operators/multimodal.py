@@ -98,9 +98,26 @@ def image_features(media, decoder_factory=None):
 
     ``decoder_factory``: optional zero-arg factory returning a
     ``bytes -> {"width","height","channels"}`` callable — the real-codec
-    seam (e.g. a factory that imports PIL/torchvision once). Resolved via
-    core/models.py: once per worker for module-level factories, once per
-    partition otherwise; default keeps the built-in header/PIL decode."""
+    seam. Resolved via core/models.py: once per worker for module-level
+    factories, once per partition otherwise; default keeps the built-in
+    header/PIL decode. Real-codec recipe (runs once per Python worker;
+    the plan shape is identical to the stand-in's — pinned by
+    tests/test_model_seam.py::test_real_pil_branch_via_worker_fake_pil)::
+
+        def load_pil():                    # module-level => worker-cached
+            import io
+            from PIL import Image
+            def decode(payload):
+                img = Image.open(io.BytesIO(payload))
+                return {"width": img.width, "height": img.height,
+                        "channels": len(img.getbands())}
+            return decode
+
+        feats = image_features(media, decoder_factory=load_pil)
+
+    Undecodable payloads keep the same contract either way: the decoder
+    raises, the row lands in quarantine with null dims + an ``error``
+    string, the job never fails."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..core.models import resolve_factory
