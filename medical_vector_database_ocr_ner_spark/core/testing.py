@@ -59,12 +59,16 @@ def heavy_fake_embed_factory():
 
 
 def fake_pil_decoder_factory():
-    """Install a minimal fake PIL into the WORKER's sys.modules, then hand
-    back multimodal's own _decode_image — so seam tests exercise the REAL
-    `from PIL import Image` branch (Image.open / .width / .height /
-    .getbands), not a bypass decoder. Payload format: b'REAL' + <w,h,c>
-    little-endian uint32 triple; anything else makes Image.open raise,
-    which _decode_image converts to its quarantine NotImplementedError.
+    """Hand back a decoder that installs a minimal fake PIL into the
+    WORKER's sys.modules AROUND each call to multimodal's own
+    _decode_image — so seam tests exercise the REAL `from PIL import
+    Image` branch (Image.open / .width / .height / .getbands), not a
+    bypass decoder, WITHOUT leaking the fake into the reused Python
+    worker (spark.python.worker.reuse keeps workers alive across tests;
+    a leaked fake PIL would hijack every later _decode_image call).
+    Payload format: b'REAL' + <w,h,c> little-endian uint32 triple;
+    anything else makes Image.open raise, which _decode_image converts
+    to its quarantine NotImplementedError.
 
     Module-level => picklable by reference => worker-cached once per
     worker (models.resolve_factory), exactly like a real `import PIL`
@@ -73,28 +77,37 @@ def fake_pil_decoder_factory():
     import sys
     import types
 
-    if "PIL" not in sys.modules:
-        class _FakeImg:
-            def __init__(self, w, h, c):
-                self.width, self.height, self._c = w, h, c
+    class _FakeImg:
+        def __init__(self, w, h, c):
+            self.width, self.height, self._c = w, h, c
 
-            def getbands(self):
-                return tuple("RGBA"[:self._c])
+        def getbands(self):
+            return tuple("RGBA"[:self._c])
 
-        def _open(fp):
-            data = fp.read()
-            if data[:4] != b"REAL":
-                raise OSError("cannot identify image file")
-            w, h, c = struct.unpack("<III", data[4:16])
-            return _FakeImg(w, h, c)
+    def _open(fp):
+        data = fp.read()
+        if data[:4] != b"REAL":
+            raise OSError("cannot identify image file")
+        w, h, c = struct.unpack("<III", data[4:16])
+        return _FakeImg(w, h, c)
 
-        image_mod = types.ModuleType("PIL.Image")
-        image_mod.open = _open
-        pil = types.ModuleType("PIL")
-        pil.Image = image_mod
-        sys.modules["PIL"] = pil
-        sys.modules["PIL.Image"] = image_mod
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = _open
+    pil = types.ModuleType("PIL")
+    pil.Image = image_mod
 
     from ..operators.multimodal import _decode_image
 
-    return _decode_image
+    def decode(payload):
+        installed = "PIL" not in sys.modules
+        if installed:
+            sys.modules["PIL"] = pil
+            sys.modules["PIL.Image"] = image_mod
+        try:
+            return _decode_image(payload)
+        finally:
+            if installed:
+                sys.modules.pop("PIL", None)
+                sys.modules.pop("PIL.Image", None)
+
+    return decode

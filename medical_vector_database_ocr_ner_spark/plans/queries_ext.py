@@ -6395,6 +6395,166 @@ WEB_QUERIES_V: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_V)
 
 
+# === webtext wave W (round 5): operationalize the round-5 measurements —
+# the simhash hot-bucket mitigation as a first-class operator, and the
+# outer interval join driven through the driver gate ===
+
+
+_HSB_CAP = 40  # hot-bucket threshold; mean occupancy at sf0.01 is ~31
+
+
+def q_simhash_hot_bucket_split(spark, sf):
+    """The hot-bucket mitigation the round-5 production-tune measurement
+    showed is mandatory (tests/test_webtext_v.py::TestSimhashProductionTune:
+    natural-language simhash bands are skewed — the hottest bucket held 9%
+    of a 19.6k-doc corpus and raw banding admitted 12.95% of all-pairs;
+    capping hot buckets took it to 1.48%). This query IS the mitigation,
+    per band: buckets over _HSB_CAP are split by extending the band key
+    with the NEXT band's 4 bits (deterministic on the signature — the
+    band-bit-extension fallback; Manku et al. WWW'07 use the same idea as
+    permuted tables over sorted fingerprint blocks). Reports, per band,
+    exact integers: bucket count, hot count, max occupancy before/after
+    the split, and candidate pairs before/after. All aggregates — the
+    pair sets are COUNTED via sum C(occ,2), never materialized, so the
+    query is linear in the corpus and the oracle needs no doc_id cap.
+    At 10^12 docs the same shape runs on the 64-bit signature with 8-bit
+    bands and recursive extension for still-hot sub-buckets."""
+    from .queries import q_simhash16
+
+    sig = q_simhash16(spark, sf)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct("
+                "cast(b as int) as band,"
+                " (simhash div shiftleft(1L, b * 4)) % 16 as bval,"
+                " (simhash div shiftleft(1L, ((b + 1) % 4) * 4)) % 16"
+                " as ext))"
+            )
+        ).alias("bk"),
+    ).select("bk.band", "bk.bval", "bk.ext")
+    # sub-bucket occupancy (band, bval, ext), then bucket rollup — two
+    # map-side-combinable aggregations, no joins
+    occ2 = banded.groupBy("band", "bval", "ext").agg(
+        F.count("*").alias("c")
+    )
+    occ1 = occ2.groupBy("band", "bval").agg(
+        F.sum("c").alias("occ"),
+        F.sum(F.expr("c * (c - 1) div 2")).alias("cand_sub"),
+        F.max("c").alias("max_sub"),
+    )
+    hot = F.col("occ") > _HSB_CAP
+    return occ1.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(hot.cast("bigint")).cast("bigint").alias("n_hot"),
+        F.max("occ").cast("bigint").alias("max_occ_before"),
+        F.max(F.when(hot, F.col("max_sub")).otherwise(F.col("occ")))
+        .cast("bigint").alias("max_occ_after"),
+        F.sum(F.expr("occ * (occ - 1) div 2")).cast("bigint")
+        .alias("cand_before"),
+        F.sum(
+            F.when(hot, F.col("cand_sub"))
+            .otherwise(F.expr("occ * (occ - 1) div 2"))
+        ).cast("bigint").alias("cand_after"),
+    )
+
+
+ORACLE_HOT_BUCKET_SPLIT = f"""
+WITH tc AS (
+  SELECT doc_id, tok, count(*) AS c, {H60_SQL.format(x="tok")} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+), bits AS (
+  SELECT CAST(range AS INT) AS bit, CAST(power(2, range) AS BIGINT) AS p
+  FROM range(16)
+), per_bit AS (
+  SELECT doc_id, bit, p, sum(c * (((h // p) % 2) * 2 - 1)) AS s
+  FROM tc CROSS JOIN bits GROUP BY doc_id, bit, p
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc_id
+), banded AS (
+  SELECT band,
+         (simhash // (CAST(1 AS BIGINT) << (band * 4))) % 16 AS bval,
+         (simhash // (CAST(1 AS BIGINT) << (((band + 1) % 4) * 4))) % 16
+           AS ext
+  FROM sig CROSS JOIN (SELECT CAST(range AS INT) AS band FROM range(4))
+), occ2 AS (
+  SELECT band, bval, ext, count(*) AS c FROM banded GROUP BY band, bval, ext
+), occ1 AS (
+  SELECT band, bval, sum(c) AS occ, sum(c * (c - 1) // 2) AS cand_sub,
+         max(c) AS max_sub
+  FROM occ2 GROUP BY band, bval
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN occ > {_HSB_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hot,
+       CAST(max(occ) AS BIGINT) AS max_occ_before,
+       CAST(max(CASE WHEN occ > {_HSB_CAP} THEN max_sub ELSE occ END)
+            AS BIGINT) AS max_occ_after,
+       CAST(sum(occ * (occ - 1) // 2) AS BIGINT) AS cand_before,
+       CAST(sum(CASE WHEN occ > {_HSB_CAP} THEN cand_sub
+                ELSE occ * (occ - 1) // 2 END) AS BIGINT) AS cand_after
+FROM occ1 GROUP BY band
+"""
+
+
+def q_error_context_outer(spark, sf):
+    """Per-error context panel through the LEFT-OUTER interval join
+    (streaming/stream_join.py::interval_join_outer — the r5 operator):
+    for every error event, the count and time span of same-user NON-error
+    events inside [err_ts, err_ts + 10 min). Errors with no context emit
+    once with n_ctx=0 and null timestamps — the rows only the outer
+    variant can produce; the driver's hash check therefore verifies the
+    null-extension semantics, not just the matched pairs. Batch and
+    stream share the one implementation (same function, same condition);
+    the batch plan is an equality join on user_id with the interval as a
+    range predicate — shuffle on user_id, state bounded by the window on
+    streams."""
+    from ..streaming.stream_join import interval_join_outer
+
+    ev = _t(spark, sf, "events")
+    errors = ev.where(F.col("event_type") == "error")
+    ctx = ev.where(F.col("event_type") != "error")
+    joined = interval_join_outer(errors, ctx)
+    return joined.groupBy("err_id").agg(
+        F.count("evt_id").cast("bigint").alias("n_ctx"),
+        F.min("evt_ts").alias("first_ctx_ts"),
+        F.max("evt_ts").alias("last_ctx_ts"),
+    )
+
+
+ORACLE_ERROR_CONTEXT_OUTER = """
+SELECT e.event_id AS err_id,
+       CAST(count(c.event_id) AS BIGINT) AS n_ctx,
+       min(c.ts) AS first_ctx_ts,
+       max(c.ts) AS last_ctx_ts
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type <> 'error'
+ AND c.ts >= e.ts
+ AND c.ts < e.ts + INTERVAL 10 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
+WEB_QUERIES_W: dict[str, QuerySpec] = {
+    "simhash_hot_bucket_split": QuerySpec(
+        q_simhash_hot_bucket_split, ORACLE_HOT_BUCKET_SPLIT
+    ),
+    "error_context_outer": QuerySpec(
+        q_error_context_outer, ORACLE_ERROR_CONTEXT_OUTER
+    ),
+}
+EXT_QUERIES.update(WEB_QUERIES_W)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path

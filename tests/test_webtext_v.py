@@ -338,3 +338,41 @@ class TestSimhashProductionTune:
         assert "Generate" in plan and "explode" in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestWaveW:
+    """Wave W invariants beyond the oracle hash: the outer rows really
+    exercise null extension, and the hot-bucket split really shrinks the
+    quadratic term."""
+
+    def test_error_context_has_true_outer_rows(self, spark, sf001_dir):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_error_context_outer,
+        )
+
+        rows = q_error_context_outer(spark, sf001_dir).collect()
+        zero = [r for r in rows if r["n_ctx"] == 0]
+        assert zero, "fixture produced no context-free errors"
+        assert all(r["first_ctx_ts"] is None for r in zero)
+        matched = [r for r in rows if r["n_ctx"] > 0]
+        assert all(r["first_ctx_ts"] <= r["last_ctx_ts"] for r in matched)
+
+    def test_hot_bucket_split_shrinks_candidates(self, spark, sf001_dir):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            _HSB_CAP, q_simhash_hot_bucket_split,
+        )
+
+        rows = q_simhash_hot_bucket_split(spark, sf001_dir).collect()
+        assert {r["band"] for r in rows} == {0, 1, 2, 3}
+        assert any(r["n_hot"] > 0 for r in rows), "cap never triggered"
+        for r in rows:
+            assert r["cand_after"] <= r["cand_before"]
+            assert r["max_occ_after"] <= r["max_occ_before"]
+            if r["n_hot"]:
+                assert r["cand_after"] < r["cand_before"]
+            else:
+                # nothing split => nothing may change
+                assert r["max_occ_after"] == r["max_occ_before"]
+                assert r["cand_after"] == r["cand_before"]
+            assert r["n_hot"] <= r["n_buckets"]
+        assert _HSB_CAP == 40  # oracle embeds the cap; move both together

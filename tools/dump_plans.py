@@ -308,6 +308,21 @@ SELECTED = [
      "Wide→long through ONE Expand over the aggregated wide relation — "
      "a single scan where the hand-written UNION ALL form re-scans per "
      "metric (Expand-not-Union pinned in tests)."),
+    ("pages_gen_probe",
+     "The scan is a BatchScanExec over the Python DataSource's 8 range "
+     "partitions (parallel generation, no single-threaded driver "
+     "collect); one partial+final HashAggregate pair above it."),
+    ("ivf_nprobe_sweep",
+     "Four sweep points share ONE cached assignment table; each point's "
+     "scan carries the centroid-partition filter (nprobe/8 of the "
+     "index), and every eval join is a k-row relation."),
+    ("simhash_hot_bucket_split",
+     "Two map-side-combinable HashAggregates above the signature agg — "
+     "the candidate sets are COUNTED via sum C(occ,2), never "
+     "materialized, so the mitigation report is linear in the corpus "
+     "with no join topology at all."),
+    ("error_context_outer",
+     "Outer interval join plans as a hash EQUI-join on user_id with the time interval as a range predicate — no nested loop (BroadcastHashJoin LeftOuter at this fixture size; a shuffle join on user_id at scale, where AQE sizes the build side); on streams the same condition bounds the join state."),
     ("curation_funnel",
      "Stage flags in one codegen pass + one token-keyed agg; the dedup "
      "keeper is a content-hash min-agg over quality survivors joined "
