@@ -376,3 +376,43 @@ class TestWaveW:
                 assert r["cand_after"] == r["cand_before"]
             assert r["n_hot"] <= r["n_buckets"]
         assert _HSB_CAP == 40  # oracle embeds the cap; move both together
+
+
+class TestStaleGreensRecord:
+    def test_record_then_check_roundtrip(self, tmp_path, monkeypatch):
+        """record marks a green entry fresh at its CURRENT fingerprint;
+        a red/no-oracle row is never recorded; check flips exactly when
+        the record disagrees with the live fingerprint."""
+        import json
+        import sys
+
+        sys.path.insert(0, ".")
+        from tools import stale_greens as sg
+
+        fps = sg.fingerprints()
+        names = sorted(fps)[:3]
+        correctness = {
+            names[0]: {"rows_match": True, "schema_match": True,
+                       "hash_match": True, "err": None},
+            names[1]: {"rows_match": True, "schema_match": True,
+                       "hash_match": False, "err": "hash_mismatch"},
+            names[2]: {"rows_match": None, "schema_match": None,
+                       "hash_match": None, "err": "no_oracle"},
+        }
+        cpath = tmp_path / "CORRECTNESS_r99.json"
+        cpath.write_text(json.dumps(correctness))
+        rpath = tmp_path / "green_hashes.json"
+        monkeypatch.setattr(sg, "RECORD_PATH", str(rpath))
+
+        sg.cmd_record(99, str(cpath))
+        rec = json.loads(rpath.read_text())
+        assert set(rec) == {names[0]}          # only the green row
+        assert rec[names[0]] == {"hash": fps[names[0]], "round": 99}
+
+        # tamper the recorded hash -> the entry must flip to stale
+        rec[names[0]]["hash"] = "0" * 16
+        rpath.write_text(json.dumps(rec))
+        stale = {n for n in fps
+                 if n in json.loads(rpath.read_text())
+                 and json.loads(rpath.read_text())[n]["hash"] != fps[n]}
+        assert stale == {names[0]}

@@ -88,8 +88,8 @@ def load_record() -> dict:
         return json.load(f)
 
 
-def cmd_record(round_no: int) -> None:
-    path = os.path.join(
+def cmd_record(round_no: int, correctness_path: str | None = None) -> None:
+    path = correctness_path or os.path.join(
         os.path.dirname(RECORD_PATH), os.pardir,
         f"CORRECTNESS_r{round_no:02d}.json",
     )
