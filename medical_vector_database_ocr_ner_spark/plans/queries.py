@@ -1370,6 +1370,8 @@ DRIVER_PRIORITY: list[str] = [
     "ivf_nprobe_sweep",
     "simhash_hot_bucket_split",
     "error_context_outer",
+    "minhash_lsh_recall",
+    "host_mix_shift",
     "above_avg_orders_sql",
     "grouping_sets_panel",
     # tier 2 — r3 single-greens displaced from the r4 window; the three
@@ -1421,8 +1423,6 @@ DRIVER_PRIORITY: list[str] = [
     # multi-green, kept in-window for cross-round continuity
     "pages_extraction",
     "semantic_search",
-    "dup_clusters",
-    "minhash_dup_counts",
     # ---- below the 50-row cut: everything else ----
     # r4 singles (verified last round) and multi-green anchors; local
     # gate + pytest still cover all of them every session

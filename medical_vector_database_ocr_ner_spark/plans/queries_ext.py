@@ -6555,6 +6555,264 @@ WEB_QUERIES_W: dict[str, QuerySpec] = {
 EXT_QUERIES.update(WEB_QUERIES_W)
 
 
+# === webtext wave X (round 5): dedup-tuning eval (the LSH s-curve checked
+# empirically, the dedup twin of ivf_recall_at_k) and crawl mix-shift ===
+
+
+_MLR_MAXDOC = 150   # truth is quadratic-ish; same cap as ngram_jaccard_pairs
+_MLR_TRUTH_J2 = (1, 2)  # J >= 1/2, held as the integer cross-mult below
+
+
+def q_minhash_lsh_recall(spark, sf):
+    """Empirical LSH s-curve check — the dedup twin of ivf_recall_at_k:
+    recall AND precision of MinHash-LSH candidate generation against the
+    EXACT token-Jaccard truth set (J >= 1/2 over doc_id < 150, the same
+    oracle-cost cap as ngram_jaccard_pairs), for both banding extremes
+    of the 4-hash signature:
+
+    - and4 (1 band x 4 rows, the minhash_dup_counts config): a pair is a
+      candidate only if the FULL signature collides — collision prob
+      s^4, so high precision / low recall;
+    - or4 (4 bands x 1 row): a pair is a candidate if ANY single hash
+      collides — 1-(1-s)^4, high recall / low precision.
+
+    Per config: truth size, candidate count, hits, recall and precision
+    in integer BASIS POINTS (x*10000 div y — no floats anywhere; the
+    J >= 1/2 test is the cross-multiplication 3*i >= na+nb). Publishing
+    this table per corpus slice is how a production dedup picks its
+    (bands, rows) operating point before paying the full pair pass; at
+    10^12 docs the truth set comes from a sampled slice exactly like
+    this capped one. Scale shape: truth is an inverted-index self-join
+    (token-key, never all-pairs); each config is one self-join on its
+    banding key; the eval joins are candidate-set-sized."""
+    from .queries import q_minhash_signatures
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < _MLR_MAXDOC)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"),
+                 F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("da"),
+                                F.col("n").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"),
+                           F.col("n").alias("nb")), "db")
+        .where(F.col("i") * 3 >= F.col("na") + F.col("nb"))
+        .select("da", "db")
+    )
+
+    sig = q_minhash_signatures(spark, sf).where(
+        F.col("doc_id") < _MLR_MAXDOC
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    cand_and = (
+        sa.join(sb, (F.col("sa.m0") == F.col("sb.m0"))
+                & (F.col("sa.m1") == F.col("sb.m1"))
+                & (F.col("sa.m2") == F.col("sb.m2"))
+                & (F.col("sa.m3") == F.col("sb.m3"))
+                & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .select(F.col("sa.doc_id").alias("da"),
+                F.col("sb.doc_id").alias("db"))
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.expr(
+            "map(0, m0, 1, m1, 2, m2, 3, m3)"
+        )).alias("band", "val"),
+    )
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    cand_or = (
+        ba.join(bb, (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.val") == F.col("bb.val"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")))
+        .select(F.col("ba.doc_id").alias("da"),
+                F.col("bb.doc_id").alias("db"))
+        .distinct()
+    )
+
+    n_truth = truth.count()
+
+    def eval_config(name, cand):
+        n_cand = cand.count()
+        n_hit = cand.join(truth, ["da", "db"]).count()
+        return (name, n_truth, n_cand, n_hit)
+
+    rows = [eval_config("and4", cand_and), eval_config("or4", cand_or)]
+    out = spark.createDataFrame(
+        rows, "config string, n_truth long, n_cand long, n_hit long"
+    )
+    return out.select(
+        "config",
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.expr("n_hit * 10000 div nullif(n_truth, 0)").cast("bigint")
+        .alias("recall_bp"),
+        F.expr("n_hit * 10000 div nullif(n_cand, 0)").cast("bigint")
+        .alias("precision_bp"),
+    )
+
+
+ORACLE_MLR = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < {_MLR_MAXDOC}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT da, db FROM inter
+  JOIN sizes xa ON xa.doc_id = da JOIN sizes xb ON xb.doc_id = db
+  WHERE i * 3 >= xa.n + xb.n
+), sig AS (
+  SELECT doc_id,
+         min({H60_SQL.format(x="tok || '#0'")}) AS m0,
+         min({H60_SQL.format(x="tok || '#1'")}) AS m1,
+         min({H60_SQL.format(x="tok || '#2'")}) AS m2,
+         min({H60_SQL.format(x="tok || '#3'")}) AS m3
+  FROM toks GROUP BY doc_id
+), cand_and AS (
+  SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b
+    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3
+   AND a.doc_id < b.doc_id
+), banded AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN m0 WHEN 1 THEN m1
+                   WHEN 2 THEN m2 ELSE m3 END AS val
+  FROM sig CROSS JOIN (SELECT CAST(range AS INT) AS band FROM range(4))
+), cand_or AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM banded a
+  JOIN banded b ON a.band = b.band AND a.val = b.val
+               AND a.doc_id < b.doc_id
+), stats AS (
+  SELECT 'and4' AS config,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand_and) AS n_cand,
+         (SELECT count(*) FROM cand_and JOIN truth USING (da, db))
+           AS n_hit
+  UNION ALL
+  SELECT 'or4',
+         (SELECT count(*) FROM truth),
+         (SELECT count(*) FROM cand_or),
+         (SELECT count(*) FROM cand_or JOIN truth USING (da, db))
+)
+SELECT config, CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit * 10000 // nullif(n_truth, 0) AS BIGINT) AS recall_bp,
+       CAST(n_hit * 10000 // nullif(n_cand, 0) AS BIGINT) AS precision_bp
+FROM stats
+"""
+
+
+def q_host_mix_shift(spark, sf):
+    """Crawl mix-shift panel: how the per-host share of the corpus moved
+    between two crawl snapshots (the same deterministic A/B synthesis as
+    crawl_diff: every 7th url vanishes, every 11th gains a '/new' child
+    — content changes don't move the MIX, so the %5 rewrite is
+    irrelevant here). Shares in integer BASIS POINTS of each snapshot's
+    total (count * 10000 div total — exact, no floats), full-outer on
+    host so appearing/vanishing hosts report. The top-20-by-|delta|
+    ordering is deterministic (tiebreak on host). This is the
+    distribution-drift alarm every recrawl pipeline runs before
+    retraining: a host whose share doubled is a crawler bug or a spam
+    flood long before any quality scorer notices. Scale: two host-keyed
+    aggs (50-row relations here, |hosts|-sized at 10^12 docs), the
+    totals are single-row broadcasts."""
+    from .queries import _pages_for_sf
+
+    pages = _pages_for_sf(spark, sf).select("url")
+    page_no = F.regexp_extract("url", r"([0-9]+)$", 1).try_cast("bigint")
+    crawl_b = pages.where(page_no % 7 != 0).unionByName(
+        pages.where(page_no % 11 == 0).select(
+            F.concat(F.col("url"), F.lit("/new")).alias("url")
+        )
+    )
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+
+    def host_counts(df, col):
+        return df.select(host.alias("host")).groupBy("host").agg(
+            F.count("*").alias(col)
+        )
+
+    ca = host_counts(pages, "n_a")
+    cb = host_counts(crawl_b, "n_b")
+    j = ca.join(cb, "host", "full_outer").select(
+        "host",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    # totals as a broadcast 1-row cross join, NOT an unpartitioned
+    # window (which would route the whole host relation to one task —
+    # harmless at 50 hosts, a real stall at a web-scale host list)
+    totals = j.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    j = j.crossJoin(F.broadcast(totals)).select(
+        "host",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr("n_a * 10000 div ta").cast("bigint").alias("share_a_bp"),
+        F.expr("n_b * 10000 div tb").cast("bigint").alias("share_b_bp"),
+        F.expr("n_b * 10000 div tb - n_a * 10000 div ta")
+        .cast("bigint").alias("delta_bp"),
+    )
+    return j.orderBy(
+        F.abs(F.col("delta_bp")).desc(), F.col("host").asc()
+    ).limit(20)
+
+
+ORACLE_HOST_MIX_SHIFT = f"""
+WITH pages AS (
+  SELECT url {_PAGES_SRC}
+), crawl_b AS (
+  SELECT url FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 7 <> 0
+  UNION ALL
+  SELECT url || '/new' FROM pages
+  WHERE TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 11 = 0
+), ca AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         count(*) AS n_a
+  FROM pages GROUP BY 1
+), cb AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         count(*) AS n_b
+  FROM crawl_b GROUP BY 1
+), j AS (
+  SELECT coalesce(ca.host, cb.host) AS host,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.host = cb.host
+), tot AS (
+  SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j
+)
+SELECT host, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_a * 10000 // ta AS BIGINT) AS share_a_bp,
+       CAST(n_b * 10000 // tb AS BIGINT) AS share_b_bp,
+       CAST(n_b * 10000 // tb - n_a * 10000 // ta AS BIGINT) AS delta_bp
+FROM j CROSS JOIN tot
+ORDER BY abs(n_b * 10000 // tb - n_a * 10000 // ta) DESC, host ASC
+LIMIT 20
+"""
+
+
+WEB_QUERIES_X: dict[str, QuerySpec] = {
+    "minhash_lsh_recall": QuerySpec(q_minhash_lsh_recall, ORACLE_MLR),
+    "host_mix_shift": QuerySpec(q_host_mix_shift, ORACLE_HOST_MIX_SHIFT),
+}
+EXT_QUERIES.update(WEB_QUERIES_X)
+
+
 # self-register: when this module is imported FIRST, queries.py's
 # _load_ext() skips (this module was mid-initialization); registering here
 # covers that path, and re-updating is idempotent on the other path

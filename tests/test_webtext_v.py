@@ -416,3 +416,47 @@ class TestStaleGreensRecord:
                  if n in json.loads(rpath.read_text())
                  and json.loads(rpath.read_text())[n]["hash"] != fps[n]}
         assert stale == {names[0]}
+
+
+class TestWaveX:
+    """Wave X invariants beyond the oracle hash: the LSH s-curve must
+    bend the right way, and the mix-shift arithmetic must be exact."""
+
+    def test_lsh_s_curve_bends_correctly(self, spark, sf001_dir):
+        """or4 (4 bands x 1 row) dominates and4 (1 band x 4 rows) on
+        recall and is dominated on precision — the defining property of
+        banding; and4's candidate set is a subset of or4's, so its count
+        can never exceed it."""
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_minhash_lsh_recall,
+        )
+
+        rows = {r["config"]: r
+                for r in q_minhash_lsh_recall(spark, sf001_dir).collect()}
+        assert set(rows) == {"and4", "or4"}
+        a, o = rows["and4"], rows["or4"]
+        assert a["n_truth"] == o["n_truth"] > 0
+        assert a["n_cand"] <= o["n_cand"]
+        assert a["n_hit"] <= o["n_hit"]
+        assert o["recall_bp"] >= a["recall_bp"]
+        if a["n_cand"] and o["n_cand"]:
+            assert a["precision_bp"] >= o["precision_bp"]
+        # hits can never exceed either side of the comparison
+        for r in (a, o):
+            assert r["n_hit"] <= r["n_truth"]
+            assert r["n_cand"] is None or r["n_hit"] <= r["n_cand"]
+
+    def test_host_mix_shift_arithmetic(self, spark, sf001_dir):
+        from medical_vector_database_ocr_ner_spark.plans.queries_ext import (
+            q_host_mix_shift,
+        )
+
+        rows = q_host_mix_shift(spark, sf001_dir).collect()
+        assert 0 < len(rows) <= 20
+        deltas = [abs(r["delta_bp"]) for r in rows]
+        assert deltas == sorted(deltas, reverse=True)  # ordered panel
+        for r in rows:
+            assert r["delta_bp"] == r["share_b_bp"] - r["share_a_bp"]
+            assert 0 <= r["share_a_bp"] <= 10000
+            assert 0 <= r["share_b_bp"] <= 10000
+            assert r["n_a"] > 0 or r["n_b"] > 0
