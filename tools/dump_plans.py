@@ -323,6 +323,15 @@ SELECTED = [
      "with no join topology at all."),
     ("error_context_outer",
      "Outer interval join plans as a hash EQUI-join on user_id with the time interval as a range predicate — no nested loop (BroadcastHashJoin LeftOuter at this fixture size; a shuffle join on user_id at scale, where AQE sizes the build side); on streams the same condition bounds the join state."),
+    ("minhash_lsh_recall",
+     "Truth via inverted-index self-join on the token key (never "
+     "all-pairs); each banding config is one self-join on its banding "
+     "key; the eval joins are candidate-set-sized."),
+    ("host_mix_shift",
+     "Two host-keyed HashAggregates, a full-outer host join, and a "
+     "BroadcastNestedLoopJoin against the 1-row totals relation — NO "
+     "unpartitioned window, so a web-scale host list never lands on "
+     "one task."),
     ("curation_funnel",
      "Stage flags in one codegen pass + one token-keyed agg; the dedup "
      "keeper is a content-hash min-agg over quality survivors joined "
